@@ -1,0 +1,99 @@
+"""CLI: ``firefly render|benchmark|invert`` — the reference's main() as verbs.
+
+Replaces the reference's interactive GLFW loop + Ctrl-S PPM dump
+(kernel.cu:331-359, utilities.h:858-893) with offline file rendering; the
+viewer layer is a host-side framebuffer write (SURVEY.md §1 L5 mapping).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from gpupathtracer_tpu.render import film
+    from gpupathtracer_tpu.render.renderer import render_frame
+    from gpupathtracer_tpu.utils.config import load_scene_file
+    from gpupathtracer_tpu.utils.image import write_image
+
+    scene, camera, settings = load_scene_file(args.scene)
+    if args.spp:
+        settings = __import__("dataclasses").replace(settings, spp=args.spp)
+    if args.aov:
+        settings = __import__("dataclasses").replace(settings, aov=args.aov)
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(render_frame(scene, camera, settings))
+    t1 = time.perf_counter()
+    write_image(args.out, film.to_u8(img, gamma=args.gamma))
+    spp_eff = 1 if settings.aov != "radiance" else settings.spp
+    bounces_eff = 1 if settings.aov != "radiance" else settings.bounces
+    rays = settings.width * settings.height * spp_eff * bounces_eff
+    print(
+        f"rendered {settings.width}x{settings.height} spp={settings.spp} "
+        f"bounces={settings.bounces} in {t1 - t0:.3f}s "
+        f"({rays / (t1 - t0) / 1e6:.1f} Mrays/s incl. compile) -> {args.out}"
+    )
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from gpupathtracer_tpu.bench import run_benchmark
+
+    result = run_benchmark(
+        scene_path=args.scene, warmup=args.warmup, iters=args.iters
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_invert(args) -> int:
+    from gpupathtracer_tpu.grad.inverse import run_inverse_demo
+
+    result = run_inverse_demo(steps=args.steps, out_dir=args.out)
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="firefly", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene config to an image file")
+    pr.add_argument("scene", help="scene config (.toml/.json)")
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--spp", type=int, default=None)
+    pr.add_argument("--aov", default=None, choices=["radiance", "normal", "normal_unit"])
+    pr.add_argument("--gamma", type=float, default=None)
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("benchmark", help="run the rays/sec benchmark")
+    pb.add_argument("--scene", default=None)
+    pb.add_argument("--warmup", type=int, default=1)
+    pb.add_argument("--iters", type=int, default=3)
+    pb.set_defaults(fn=cmd_benchmark)
+
+    pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
+    pi.add_argument("--steps", type=int, default=100)
+    pi.add_argument("--out", default=None)
+    pi.set_defaults(fn=cmd_invert)
+
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. cpu, tpu); default = environment's",
+    )
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Wavefront Monte Carlo path-tracing integrator (`lax.scan` over bounces).
+
+This realizes the reference README's intended loop — "per bounce: generate
+rays, intersect, accumulate color, shade" (readme.md "Mega Kernel method";
+only one bounce of it is committed, kernel.cu:207-215) — as the *wavefront*
+formulation the reference explicitly considered and deferred (its unused
+``d_raysToTrace`` compaction buffer, kernel.cu:300-302). On TPU the wavefront
+form wins: per-bounce stages are dense vector ops over the whole ray batch
+with masked liveness, no per-lane divergence.
+
+Estimator: naive path tracing (emitter-hit accumulation, no next-event
+estimation — matching the reference design), with cosine-weighted Lambertian
+sampling. The reference's latent shading code returns
+``albedo * |dot(n, incoming)|`` with pdf ``cos/π`` (utilities.h:109-138) —
+dimensionally incoherent half-finished code (see PARITY.md); we implement the
+*intended* physically based estimator: for cosine-weighted sampling the
+Lambertian throughput factor is exactly ``albedo``
+((albedo/π)·cosθ / (cosθ/π) = albedo).
+
+Materials: all four reference BXDF types (utilities.h:68-75) — EMITTER
+(two-sided Le = emissive·intensity, utilities.h:96-103), DIFFUSE, plus the
+declared-but-unimplemented MIRROR (perfect specular) and GLASS (Schlick
+Fresnel dielectric). Dispatch is dense masked selection over the small
+material set — the TPU analogue of material sorting (SURVEY.md §2.4 EP row).
+
+Termination: fixed bounce count (static scan length), optional Russian
+roulette masking after ``rr_start`` bounces. Rays that die (miss / emitter /
+roulette) carry zero throughput; their lanes keep executing harmlessly —
+liveness is data, not shape (XLA static-shape discipline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.models.materials import BxdfType
+from gpupathtracer_tpu.models.scene import TriangleScene
+from gpupathtracer_tpu.ops import sampling
+from gpupathtracer_tpu.ops.intersect import Hit, intersect_brute, resolve_hits
+
+# Offset applied along the oriented normal when spawning secondary rays; the
+# reference has no such machinery yet (SURVEY.md §2.3.12) — it relies on the
+# t > 1e-6 epsilon alone, which we also honor (ops/intersect.py t_min).
+RAY_OFFSET = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorOptions:
+    bounces: int = 4
+    background: tuple = (0.0, 0.0, 0.0)  # committed reference: memset black (kernel.cu:340)
+    rr_start: int | None = None  # Russian roulette from this bounce; None = off
+    tri_block: int = 512
+    ray_chunk: int = 8192
+    use_shading_normals: bool = False  # reference shades with geometric normals
+
+
+def _gather_materials(scene: TriangleScene, mat_id):
+    m = scene.materials
+    return {
+        "type": m.type[mat_id],
+        "albedo": m.albedo[mat_id],
+        "specular": m.specular_color[mat_id],
+        "ior": m.refractive_index[mat_id],
+        "emissive": m.emissive_color[mat_id],
+        "intensity": m.intensity[mat_id],
+        "transmittance": m.transmittance_color[mat_id],
+    }
+
+
+def trace_paths(
+    scene: TriangleScene,
+    origins: jnp.ndarray,  # (R,3)
+    directions: jnp.ndarray,  # (R,3)
+    keys: jnp.ndarray,  # (R,) PRNG keys (one per path)
+    options: IntegratorOptions,
+    intersect_fn=None,
+) -> jnp.ndarray:
+    """Trace R paths for ``options.bounces`` bounces; returns radiance (R,3).
+
+    ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
+    the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
+    """
+    if intersect_fn is None:
+        intersect_fn = partial(
+            intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk
+        )
+    r = origins.shape[0]
+    background = jnp.asarray(options.background, jnp.float32)
+
+    def bounce(state, bounce_idx):
+        o, d, throughput, radiance, alive = state
+        hit: Hit = intersect_fn(o, d, scene)
+        attrs = resolve_hits(o, d, scene, hit.tri)
+        found = alive & hit.hit
+        missed = alive & ~hit.hit
+
+        # Miss: accumulate background and terminate (reference: PBO stays at
+        # the memset value — black; pink noHitColor is exposed via options).
+        radiance = radiance + jnp.where(missed[:, None], throughput * background[None, :], 0.0)
+
+        mat = _gather_materials(scene, attrs.mat_id)
+        is_emit = mat["type"] == BxdfType.EMITTER
+        is_diffuse = mat["type"] == BxdfType.DIFFUSE
+        is_mirror = mat["type"] == BxdfType.MIRROR
+        is_glass = mat["type"] == BxdfType.GLASS
+
+        # EMITTER: two-sided Le = emissive * intensity (utilities.h:96-103);
+        # path terminates (reference sets outgoing = 0).
+        le = mat["emissive"] * mat["intensity"][:, None]
+        radiance = radiance + jnp.where((found & is_emit)[:, None], throughput * le, 0.0)
+
+        # Shading frame. One-sided triangles are always front hits (the
+        # backface cull guarantees dot(d, gn) < 0); two-sided primitives get
+        # their normal oriented against the incident ray for sampling.
+        n = attrs.sn if options.use_shading_normals else attrs.gn
+        facing = -jnp.sign(jnp.sum(d * n, axis=-1, keepdims=True))
+        n_shade = n * jnp.where(facing == 0.0, 1.0, facing)
+
+        # Per-bounce randomness: counter-based fold-in, layout-invariant.
+        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, bounce_idx)
+        u = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(kb)
+
+        # DIFFUSE: cosine-weighted hemisphere sample (the reference warp,
+        # utilities.h:46-55); Lambertian throughput factor = albedo.
+        local = sampling.cosine_sample_hemisphere(u[:, 0], u[:, 1])
+        d_diffuse = sampling.local_to_world(local, n_shade)
+
+        # MIRROR: perfect specular reflection scaled by specular color.
+        d_mirror = sampling.reflect(d, n_shade)
+
+        # GLASS: Schlick-Fresnel-weighted reflect/refract.
+        cos_i = jnp.clip(-jnp.sum(d * n, axis=-1), -1.0, 1.0)
+        entering = cos_i > 0.0
+        n_glass = jnp.where(entering[:, None], n, -n)
+        cos_i_abs = jnp.abs(cos_i)
+        eta_i = jnp.where(entering, 1.0, mat["ior"])
+        eta_t = jnp.where(entering, mat["ior"], 1.0)
+        fres = sampling.fresnel_schlick(cos_i_abs, eta_i, eta_t)
+        refr, tir = sampling.refract(d, n_glass, (eta_i / eta_t)[:, None])
+        reflect_choice = tir | (u[:, 2] < fres)
+        d_glass = jnp.where(
+            reflect_choice[:, None], sampling.reflect(d, n_glass), sampling.normalize_dir(refr)
+        )
+
+        new_d = jnp.where(
+            is_diffuse[:, None],
+            d_diffuse,
+            jnp.where(is_mirror[:, None], d_mirror, d_glass),
+        )
+        tp_factor = jnp.where(
+            is_diffuse[:, None],
+            mat["albedo"],
+            jnp.where(
+                is_mirror[:, None],
+                mat["specular"],
+                jnp.where(reflect_choice[:, None], jnp.ones_like(mat["albedo"]), mat["transmittance"]),
+            ),
+        )
+
+        scatter = found & ~is_emit
+        new_throughput = jnp.where(scatter[:, None], throughput * tp_factor, throughput)
+
+        # Offset the new origin off the surface along the travel side.
+        offset_n = jnp.where(is_glass[:, None] & ~reflect_choice[:, None], -n_glass, n_shade)
+        new_o = attrs.point + RAY_OFFSET * offset_n
+
+        alive_next = scatter
+        if options.rr_start is not None:
+            # Russian roulette on throughput luminance, deterministic per key.
+            lum = jnp.max(new_throughput, axis=-1)
+            p = jnp.clip(lum, 0.05, 1.0)
+            kr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 7919)
+            ur = jax.vmap(lambda k: jax.random.uniform(k, ()))(kr)
+            do_rr = bounce_idx >= options.rr_start
+            survive = ~do_rr | (ur < p)
+            new_throughput = jnp.where(
+                (do_rr & survive)[:, None], new_throughput / p[:, None], new_throughput
+            )
+            alive_next = alive_next & survive
+
+        o = jnp.where(scatter[:, None], new_o, o)
+        d = jnp.where(scatter[:, None], new_d, d)
+        return (o, d, new_throughput, radiance, alive_next), None
+
+    init = (
+        origins,
+        directions,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r,), jnp.bool_),
+    )
+    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce, init, jnp.arange(options.bounces)
+    )
+    return radiance
+
+
+def normal_aov(
+    scene: TriangleScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    options: IntegratorOptions,
+    reference_parity: bool = True,
+    intersect_fn=None,
+) -> jnp.ndarray:
+    """The committed reference shading: ``abs(world normal)`` on hit, else 0.
+
+    ``reference_parity=True`` uses the unnormalized inverse-transpose normal
+    (kernel.cu:117 + 183, SURVEY.md §2.3.1); False uses the unit geometric
+    normal.
+    """
+    if intersect_fn is None:
+        intersect_fn = partial(
+            intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk
+        )
+    hit = intersect_fn(origins, directions, scene)
+    idx = jnp.maximum(hit.tri, 0)
+    n = scene.gn_ref[idx] if reference_parity else scene.gn[idx]
+    color = jnp.abs(n)
+    return jnp.where(hit.hit[:, None], color, 0.0)

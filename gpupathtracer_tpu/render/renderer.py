@@ -1,0 +1,94 @@
+"""Top-level renderer: camera + scene + settings → image.
+
+Replaces the reference's frame loop (kernel.cu:331-359): one jitted function
+renders a full frame — ray generation (models/camera.py), a sample loop
+(`lax.scan` over spp), the wavefront bounce integrator, and film
+accumulation. No GL/GLFW — output is a host-side array written to
+PPM/PNG (utils/image.py), per SURVEY.md §1's TPU mapping of layer L5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.models.camera import Camera, generate_rays
+from gpupathtracer_tpu.models.scene import TriangleScene
+from gpupathtracer_tpu.ops import sampling
+from gpupathtracer_tpu.render.integrator import IntegratorOptions, normal_aov, trace_paths
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Render block of the config schema (SURVEY.md §5 config system)."""
+
+    width: int = 800  # kernel.cu:262
+    height: int = 800  # kernel.cu:263
+    spp: int = 1  # kernel.cu:266
+    bounces: int = 1  # committed reference executes exactly one bounce
+    seed: int = 1234  # the reference's curand seed (utilities.h:118)
+    jitter: bool = True  # sub-pixel AA for spp > 1; False bit-matches kernel.cu:200-201
+    background: tuple = (0.0, 0.0, 0.0)
+    aov: str = "radiance"  # "radiance" | "normal" | "normal_unit"
+    rr_start: int | None = None
+    tri_block: int = 512
+    ray_chunk: int = 8192
+    use_shading_normals: bool = False
+
+
+def _integrator_options(s: RenderSettings) -> IntegratorOptions:
+    return IntegratorOptions(
+        bounces=s.bounces,
+        background=s.background,
+        rr_start=s.rr_start,
+        tri_block=s.tri_block,
+        ray_chunk=s.ray_chunk,
+        use_shading_normals=s.use_shading_normals,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_frame(scene: TriangleScene, camera: Camera, settings: RenderSettings) -> jnp.ndarray:
+    """Render a full frame; returns mean radiance (H, W, 3) float32.
+
+    Jitted once per (resolution, spp, bounces, aov) combination; scene and
+    camera are traced arguments so parameter updates don't recompile.
+    """
+    h, w = settings.height, settings.width
+    assert camera.width == w and camera.height == h, "camera/screen size mismatch"
+    opts = _integrator_options(settings)
+
+    if settings.aov in ("normal", "normal_unit"):
+        o, d = generate_rays(camera)
+        color = normal_aov(scene, o, d, opts, reference_parity=settings.aov == "normal")
+        return color.reshape(h, w, 3)
+
+    r = h * w
+    pixel_idx = jnp.arange(r, dtype=jnp.uint32)
+    base_key = jax.random.PRNGKey(settings.seed)
+
+    def sample_step(film_sum, s):
+        keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
+        if settings.jitter and settings.spp > 1:
+            aa_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0xA11A)
+            jitter_uv = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(aa_keys)
+        else:
+            jitter_uv = None
+        o, d = generate_rays(camera, jitter_uv)
+        radiance = trace_paths(scene, o, d, keys, opts)
+        return film_sum + radiance, None
+
+    film_sum, _ = jax.lax.scan(
+        sample_step, jnp.zeros((r, 3), jnp.float32), jnp.arange(settings.spp)
+    )
+    return (film_sum / settings.spp).reshape(h, w, 3)
+
+
+def render(scene: TriangleScene, camera: Camera, settings: RenderSettings):
+    """Convenience wrapper: returns the frame as a host numpy array."""
+    import numpy as np
+
+    return np.asarray(jax.device_get(render_frame(scene, camera, settings)))
