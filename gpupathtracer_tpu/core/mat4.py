@@ -138,17 +138,20 @@ def transform_vectors(m, vecs) -> jnp.ndarray:
     return vecs @ jnp.transpose(m[:3, :3])
 
 
-# NOTE: the guard epsilon must be a *normal* f32 (>= ~1.18e-38): XLA flushes
-# subnormals to zero, so a 1e-38 guard silently becomes 0 and 0/0 = NaN on
-# degenerate (zero-area) triangles.
-_NORM_EPS = 1e-20
+# NOTE: the squared guard epsilon must be a *normal* f32 (>= ~1.18e-38): XLA
+# flushes subnormals to zero, so e.g. (1e-20)^2 = 1e-40 silently becomes 0
+# and 0/0 = NaN on degenerate (zero-area) triangles.
+_NORM_EPS_SQ = 1e-24
 
 
-def _normalize(v, eps: float = _NORM_EPS):
-    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps * eps))
+def _normalize(v, eps_sq: float = _NORM_EPS_SQ):
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps_sq))
 
 
 def normalize(v, axis: int = -1) -> jnp.ndarray:
+    """Safe normalize: clamps INSIDE the sqrt so the VJP at the zero vector
+    is 0, not NaN (sqrt'(0) = inf would otherwise poison gradients through
+    padding rows / missed rays)."""
     v = _f32(v)
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, _NORM_EPS)
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axis, keepdims=True), _NORM_EPS_SQ))
+    return v / n

@@ -38,7 +38,7 @@ from gpupathtracer_tpu.models.materials import MaterialTable
 from gpupathtracer_tpu.models.scene import TriangleScene
 
 EPSILON = 1e-6  # the reference's EPSILON (kernel.cu:38)
-BIG = jnp.float32(3.0e38)
+BIG = 3.0e38  # python float: pallas kernels close over it (no traced constants)
 
 
 @struct.dataclass
@@ -178,13 +178,23 @@ def resolve_hits(o, d, scene: TriangleScene, tri: jnp.ndarray) -> HitAttributes:
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    # Near-parallel gathered rows (e.g. clamped indices of missed rays) give
+    # |t| up to ~1e24; downstream squares would overflow to inf and poison
+    # gradients (inf/inf = NaN in VJP residuals). Clamp far inside f32 range.
+    t = jnp.clip(t, -1e8, 1e8)
 
     point = o + t[:, None] * d
-    gn_raw = jnp.cross(e1, e2)
-    gn = gn_raw / jnp.maximum(jnp.linalg.norm(gn_raw, axis=-1, keepdims=True), 1e-20)
+
+    def safe_normalize(x):
+        # Clamp inside the sqrt: zero vectors (padding rows, missed rays)
+        # must have zero — not NaN — gradients.
+        return x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24))
+
+    gn = safe_normalize(jnp.cross(e1, e2))
     w = 1.0 - u - v
-    sn = w[:, None] * scene.n0[idx] + u[:, None] * scene.n1[idx] + v[:, None] * scene.n2[idx]
-    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-20)
+    sn = safe_normalize(
+        w[:, None] * scene.n0[idx] + u[:, None] * scene.n1[idx] + v[:, None] * scene.n2[idx]
+    )
     uv = w[:, None] * scene.uv0[idx] + u[:, None] * scene.uv1[idx] + v[:, None] * scene.uv2[idx]
     return HitAttributes(
         t=t,

@@ -1,0 +1,366 @@
+"""Pallas TPU closest-hit kernel: MXU Plücker matmul + fused VMEM epilogue.
+
+The hot loop of the whole framework — the reference's O(pixels × triangles)
+megakernel inner loop (``kernel.cu:133-156``) mapped onto TPU hardware:
+
+- grid = (ray_tiles, triangle_blocks); each step computes a (TR, 5·TB)
+  decision matrix with ONE MXU matmul (see ops/plucker.py for the math);
+- the epilogue (cull sign tests, t, masked min/argmin) runs on the VPU
+  entirely in VMEM — the (rays × triangles) intermediates never touch HBM,
+  which the pure-jnp formulation cannot avoid;
+- **uniformly one-sided**: two-sided primitives are pre-duplicated with
+  flipped winding at pack time (``pack_triangles_dup``), so the epilogue is
+  5 compares + a mul-by-reciprocal per pair — no per-triangle mask loads;
+- **tile×block conservative culling**: an XLA pre-pass intersects each ray
+  tile's (origin-box, direction-box) interval frustum with each triangle
+  block's AABB; the (ray_tiles, tri_blocks) skip mask is scalar-prefetched
+  to SMEM and whole blocks are skipped with ``@pl.when`` — the TPU analogue
+  of packet/frustum culling, effective for coherent (primary/low-bounce)
+  rays;
+- the running (best_t, best_index) lives in the revisited output block
+  across the inner grid dimension (sequential TPU grid semantics), matching
+  the reference's serial strictly-nearer/first-wins loop (kernel.cu:110-125);
+- triangle blocks stream HBM→VMEM double-buffered by the Pallas pipeline.
+
+Parity: equal to the Möller–Trumbore oracle (ops/intersect.py) up to fp
+rounding at hit boundaries; interpret-mode runs bit-match the packing's jnp
+reference (tested in tests/test_plucker.py, tests/test_pallas_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpupathtracer_tpu.models.scene import TriangleScene
+from gpupathtracer_tpu.ops.intersect import BIG, EPSILON, Hit
+from gpupathtracer_tpu.ops.plucker import K, NSCALARS, pack_rays
+
+DEFAULT_RAY_TILE = 256
+INF = float("inf")
+
+
+@struct.dataclass
+class PackedScene:
+    """Duplicated-winding packing + per-block AABBs for the Pallas kernel."""
+
+    w: jnp.ndarray  # (nb, K, NSCALARS*tb) column layout [s0|s1|s2|D|num]
+    tri_map: jnp.ndarray  # (nb*tb,) int32 — packed row -> original scene row
+    box_lo: jnp.ndarray  # (nb, 3) block AABB
+    box_hi: jnp.ndarray  # (nb, 3)
+    block_live: jnp.ndarray  # (nb,) int32 — 0 if every row is degenerate
+    tri_block: int = struct.field(pytree_node=False, default=512)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.w.shape[0]
+
+
+def _morton_codes(centroids: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """10-bit-per-axis Morton codes for spatial clustering of triangles.
+
+    Spatially sorted rows give tight per-block AABBs, which is what makes the
+    tile×block frustum culling effective (the SoA analogue of BVH leaf
+    clustering, SURVEY.md §7.1 step 3).
+    """
+    span = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((centroids - lo) / span * 1023.0), 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):  # interleave 10 bits with 2-bit gaps
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def pack_scene(scene: TriangleScene, tri_block: int = 512) -> PackedScene:
+    """Pack a TriangleScene for the one-sided kernel.
+
+    Two-sided rows (the reference's analytic planes, kernel.cu:8-32, and
+    glass meshes) are appended again with swapped e1/e2 (flipped winding), so
+    back-face hits become front-face hits of the duplicate and the kernel
+    needs no per-triangle side mask. ``tri_map`` sends both copies to the
+    original row for attribute resolution. Padding rows are degenerate
+    (N = 0 ⇒ rejected by the det test).
+
+    When the scene is concrete (packing eagerly, outside jit — the
+    renderer's fast path), the packed arrays are trimmed to exactly the live
+    rows, minimizing the kernel grid. Under tracing, shapes must be static,
+    so a full flipped copy is appended and dead blocks are skipped at run
+    time via ``block_live`` + the cull mask.
+    """
+    import jax.core as jcore
+
+    concrete = not any(
+        isinstance(x, jcore.Tracer) for x in (scene.v0, scene.two_sided, scene.valid)
+    )
+    if concrete:
+        import numpy as _np
+
+        keep_orig = _np.asarray(scene.valid)
+        keep_flip = _np.asarray(scene.two_sided & scene.valid)
+        orig_rows = _np.where(keep_orig)[0]
+        flip_rows = _np.where(keep_flip)[0]
+        a = jnp.concatenate([scene.v0[orig_rows], scene.v0[flip_rows]])
+        b = jnp.concatenate(
+            [scene.v0[orig_rows] + scene.e1[orig_rows], scene.v0[flip_rows] + scene.e2[flip_rows]]
+        )
+        c3 = jnp.concatenate(
+            [scene.v0[orig_rows] + scene.e2[orig_rows], scene.v0[flip_rows] + scene.e1[flip_rows]]
+        )
+        tri_map0 = jnp.asarray(
+            _np.concatenate([orig_rows, flip_rows]).astype(_np.int32)
+        )
+        return _pack_rows(a, b, c3, tri_map0, tri_block)
+
+    a = scene.v0
+    b = scene.v0 + scene.e1
+    c3 = scene.v0 + scene.e2
+    valid = scene.valid
+    two = scene.two_sided & valid
+    n = scene.num_triangles
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # Static shapes: always append a full flipped copy, but degenerate the
+    # flipped rows of one-sided/invalid triangles (zero them out). The Morton
+    # sort below pushes degenerate rows to dedicated blocks, which the
+    # liveness mask then skips entirely.
+    keep = (two).astype(jnp.float32)[:, None]
+    av, bv, cv = a * keep, c3 * keep, b * keep  # flipped winding: swap B and C
+    a2 = jnp.concatenate([jnp.where(valid[:, None], a, 0.0), av])
+    b2 = jnp.concatenate([jnp.where(valid[:, None], b, 0.0), bv])
+    c2 = jnp.concatenate([jnp.where(valid[:, None], c3, 0.0), cv])
+    tri_map = jnp.concatenate([idx, idx])
+    live_row = jnp.concatenate([valid, two])
+    return _pack_rows(a2, b2, c2, tri_map, tri_block, live_row)
+
+
+def _pack_rows(a2, b2, c2, tri_map, tri_block: int, live_row=None) -> PackedScene:
+    m = a2.shape[0]
+    if live_row is None:
+        live_row = jnp.ones((m,), jnp.bool_)
+    pad = (-m) % tri_block
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32)
+        a2 = jnp.concatenate([a2, z])
+        b2 = jnp.concatenate([b2, z])
+        c2 = jnp.concatenate([c2, z])
+        tri_map = jnp.concatenate([tri_map, jnp.zeros((pad,), jnp.int32)])
+        live_row = jnp.concatenate([live_row, jnp.zeros((pad,), jnp.bool_)])
+    m = a2.shape[0]
+    nb = m // tri_block
+
+    # Spatial (Morton) sort of live rows; dead rows sort to the tail.
+    cent = (a2 + b2 + c2) / 3.0
+    live_f = live_row.astype(jnp.float32)[:, None]
+    lo = jnp.min(jnp.where(live_f > 0, cent, INF), axis=0)
+    hi = jnp.max(jnp.where(live_f > 0, cent, -INF), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+    codes = _morton_codes(cent, lo, hi)  # 30-bit uint32
+    codes = jnp.where(live_row, codes, jnp.uint32(0xFFFFFFFF))  # dead → tail
+    order = jnp.argsort(codes)
+    a2, b2, c2 = a2[order], b2[order], c2[order]
+    tri_map = tri_map[order]
+    live_row = live_row[order]
+    # Re-degenerate dead rows (they may carry stale coords after the gather).
+    lf = live_row.astype(jnp.float32)[:, None]
+    a2, b2, c2 = a2 * lf, b2 * lf, c2 * lf
+
+    e1 = b2 - a2
+    e2 = c2 - a2
+    n_vec = jnp.cross(e1, e2)
+    c_plane = jnp.sum(n_vec * a2, axis=-1)
+
+    def edge_cols(p, q):
+        return jnp.concatenate([jnp.cross(p, q), q - p], axis=-1)
+
+    z3 = jnp.zeros((m, 3), jnp.float32)
+    z1 = jnp.zeros((m, 1), jnp.float32)
+
+    def pad_k(cols):
+        return jnp.pad(cols, ((0, 0), (0, K - cols.shape[1])))
+
+    cols = [
+        pad_k(jnp.concatenate([edge_cols(a2, b2), z3, z1], axis=-1)),
+        pad_k(jnp.concatenate([edge_cols(b2, c2), z3, z1], axis=-1)),
+        pad_k(jnp.concatenate([edge_cols(c2, a2), z3, z1], axis=-1)),
+        pad_k(jnp.concatenate([n_vec, z3, z3, z1], axis=-1)),
+        pad_k(jnp.concatenate([z3, z3, -n_vec, c_plane[:, None]], axis=-1)),
+    ]
+    w = jnp.concatenate(
+        [c.reshape(nb, tri_block, K).transpose(0, 2, 1) for c in cols], axis=-1
+    )
+
+    # Block AABBs over live rows only (dead rows would inflate boxes to the
+    # origin); all-dead blocks get empty boxes and block_live = 0.
+    verts = jnp.stack([a2, b2, c2], axis=1).reshape(nb, tri_block * 3, 3)
+    vlive = jnp.repeat(live_row.reshape(nb, tri_block), 3, axis=1)[..., None]
+    box_lo = jnp.min(jnp.where(vlive, verts, INF), axis=1)
+    box_hi = jnp.max(jnp.where(vlive, verts, -INF), axis=1)
+    block_live = live_row.reshape(nb, tri_block).any(axis=1)
+    box_lo = jnp.where(block_live[:, None], box_lo, 0.0)
+    box_hi = jnp.where(block_live[:, None], box_hi, -1.0)  # empty box
+    return PackedScene(
+        w=w,
+        tri_map=tri_map,
+        box_lo=box_lo,
+        box_hi=box_hi,
+        block_live=block_live.astype(jnp.int32),
+        tri_block=tri_block,
+    )
+
+
+def _interval_div(nlo, nhi, dlo, dhi):
+    """Conservative interval [lo,hi]/[dlo,dhi] with 0 ∈ d ⇒ (-inf, inf)."""
+    safe = lambda x: jnp.where(x == 0.0, 1e-30, x)
+    c1 = nlo / safe(dlo)
+    c2 = nlo / safe(dhi)
+    c3 = nhi / safe(dlo)
+    c4 = nhi / safe(dhi)
+    lo = jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
+    hi = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+    straddles = (dlo <= 0.0) & (dhi >= 0.0)
+    return jnp.where(straddles, -INF, lo), jnp.where(straddles, INF, hi)
+
+
+def tile_block_mask(o, d, packed: PackedScene, ray_tile: int) -> jnp.ndarray:
+    """(ray_tiles, tri_blocks) int32: 1 = must test, 0 = provably no hit.
+
+    Interval-arithmetic frustum test: rays of a tile are abstracted as
+    origin ∈ [o_min,o_max], direction ∈ [d_min,d_max]; a block is skipped if
+    the conservative slab intervals of its AABB have empty t ≥ 0 overlap.
+    """
+    rt = o.shape[0] // ray_tile
+    ot = o.reshape(rt, ray_tile, 3)
+    dt = d.reshape(rt, ray_tile, 3)
+    o_lo, o_hi = jnp.min(ot, axis=1), jnp.max(ot, axis=1)  # (rt,3)
+    d_lo, d_hi = jnp.min(dt, axis=1), jnp.max(dt, axis=1)
+
+    # (rt, nb, 3) numerator intervals.
+    n_lo = packed.box_lo[None, :, :] - o_hi[:, None, :]
+    n_hi = packed.box_hi[None, :, :] - o_lo[:, None, :]
+    t_lo, t_hi = _interval_div(n_lo, n_hi, d_lo[:, None, :], d_hi[:, None, :])
+    t_lo = jnp.maximum(t_lo, 0.0)
+    enter = jnp.max(t_lo, axis=-1)
+    exit_ = jnp.min(t_hi, axis=-1)
+    hit_possible = (enter <= exit_) & (packed.block_live[None, :] > 0)
+    return hit_possible.astype(jnp.int32)
+
+
+def _kernel(mask_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t_ref[0, 0, :] = jnp.full((best_t_ref.shape[2],), BIG, jnp.float32)
+        best_i_ref[0, 0, :] = jnp.full((best_i_ref.shape[2],), -1, jnp.int32)
+
+    @pl.when(mask_ref[0, 0, j] > 0)
+    def _():
+        # HIGHEST: true f32 MXU passes. Single-pass bf16 flips ~1% of hit
+        # decisions vs the f32 oracle — unacceptable for geometry.
+        s = jnp.dot(
+            feats_ref[:],
+            w_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TR, 5*tb)
+        s0 = s[:, 0 * tb : 1 * tb]
+        s1 = s[:, 1 * tb : 2 * tb]
+        s2 = s[:, 2 * tb : 3 * tb]
+        dd = s[:, 3 * tb : 4 * tb]
+        num = s[:, 4 * tb : 5 * tb]
+
+        # One-sided epilogue: det = −dd ≥ eps, sides share dd's (negative)
+        # sign inclusively; t via reciprocal (dd bounded away from 0 by eps).
+        ok = (dd <= -EPSILON) & (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+        t = num / dd
+        ok &= t > EPSILON  # kernel.cu:97
+        t = jnp.where(ok, t, BIG)
+
+        blk_min = jnp.min(t, axis=-1)
+        blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + j * tb
+
+        prev_t = best_t_ref[0, 0, :]
+        upd = blk_min < prev_t  # strict <: earlier blocks win ties (kernel.cu:115)
+        best_t_ref[0, 0, :] = jnp.where(upd, blk_min, prev_t)
+        best_i_ref[0, 0, :] = jnp.where(upd & (blk_min < BIG), blk_arg, best_i_ref[0, 0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def _launch(mask, feats, w, ray_tile: int, interpret: bool):
+    rp = feats.shape[0]
+    nb, _, five_tb = w.shape
+    tb = five_tb // NSCALARS
+    rt = rp // ray_tile
+
+    grid_spec = pl.GridSpec(
+        grid=(rt, nb),
+        in_specs=[
+            # Current tile's cull-mask row only — the full (rt, nb) mask can
+            # exceed the 1MB SMEM budget (rows pad to 128 lanes).
+            pl.BlockSpec((1, 1, nb), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, five_tb), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    best_t, best_i = pl.pallas_call(
+        functools.partial(_kernel, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * K * five_tb * nb,
+            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mask[:, None, :], feats, w)
+    return best_t.reshape(-1), best_i.reshape(-1)
+
+
+def intersect_pallas(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    packed: PackedScene,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+) -> Hit:
+    """Closest hit of rays (R,3) against the packed scene. See module doc.
+
+    Returned ``tri`` indices are original scene rows (tri_map applied), so
+    downstream attribute resolution (ops/intersect.py::resolve_hits) is
+    backend-agnostic.
+    """
+    r = o.shape[0]
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    feats = pack_rays(o, d)
+    pad = (-r) % ray_tile
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    mask = tile_block_mask(o, d, packed, ray_tile)
+    best_t, best_i = _launch(
+        mask, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+    )
+    best_t = best_t[:r]
+    best_i = best_i[:r]
+    tri = jnp.where(best_i >= 0, packed.tri_map[jnp.maximum(best_i, 0)], -1)
+    return Hit(t=jnp.where(best_i >= 0, best_t, BIG), tri=tri, hit=best_i >= 0)

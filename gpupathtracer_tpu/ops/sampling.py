@@ -57,7 +57,8 @@ def local_to_world(local, n):
 
 
 def normalize_dir(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    # Clamp inside the sqrt: zero-vector VJP must be 0, not NaN.
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
 
 
 def reflect(d, n):
@@ -74,7 +75,9 @@ def refract(d, n, eta):
     cos_i = -jnp.sum(d * n, axis=-1, keepdims=True)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t[..., 0] >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    # Clamp strictly above 0: sqrt'(0) = inf would NaN the VJP on TIR lanes
+    # (inf × zero-cotangent); TIR lanes are masked out anyway.
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12, 1.0))
     refr = eta * d + (eta * cos_i - cos_t) * n
     return refr, tir
 

@@ -56,6 +56,45 @@ class IntegratorOptions:
     tri_block: int = 512
     ray_chunk: int = 8192
     use_shading_normals: bool = False  # reference shades with geometric normals
+    # Intersection backend: "auto" = Pallas MXU kernel on TPU, jnp Plücker
+    # elsewhere; "brute" = the Möller–Trumbore oracle; explicit "pallas" /
+    # "plucker" force a backend (pallas uses interpret mode off-TPU).
+    intersector: str = "auto"
+    # Estimator: "naive" = emitter-hit accumulation only (the reference
+    # README's design); "nee" = next-event estimation (explicit light
+    # sampling). NEE converges far faster AND is what makes geometry
+    # gradients nonzero under detached sampling: its cosθ_x·cosθ_y/r² term
+    # is differentiable wrt vertices/normals, whereas naive PT's path
+    # contributions are products of constants (see grad/).
+    estimator: str = "naive"
+
+
+def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
+    """Build the closest-hit function for the configured backend.
+
+    Packs the scene once (hoisted out of the bounce/sample loops under jit).
+    """
+    import jax as _jax
+
+    from gpupathtracer_tpu.ops import pallas_intersect, plucker
+
+    which = options.intersector
+    if which == "auto":
+        which = "pallas" if _jax.default_backend() == "tpu" else "plucker"
+    if which == "brute":
+        return partial(intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk)
+    if which == "plucker":
+        packed = plucker.pack_triangles(scene, tri_block=options.tri_block)
+        return lambda o, d, _scene: plucker.intersect_plucker_jnp(
+            o, d, packed, ray_chunk=options.ray_chunk
+        )
+    if which == "pallas":
+        packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+        interpret = _jax.default_backend() != "tpu"
+        return lambda o, d, _scene: pallas_intersect.intersect_pallas(
+            o, d, packed, interpret=interpret
+        )
+    raise ValueError(f"unknown intersector {options.intersector!r}")
 
 
 def _gather_materials(scene: TriangleScene, mat_id):
@@ -85,14 +124,22 @@ def trace_paths(
     the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
     """
     if intersect_fn is None:
-        intersect_fn = partial(
-            intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk
-        )
+        intersect_fn = make_intersect_fn(scene, options)
     r = origins.shape[0]
     background = jnp.asarray(options.background, jnp.float32)
+    nee = options.estimator == "nee"
+
+    if nee:
+        # Area-weighted light table over emissive triangles (computed once,
+        # hoisted out of the bounce scan under jit).
+        tri_area = 0.5 * jnp.linalg.norm(jnp.cross(scene.e1, scene.e2), axis=-1)
+        tri_is_light = (scene.materials.type[scene.mat_id] == BxdfType.EMITTER) & scene.valid
+        light_w = tri_area * tri_is_light.astype(jnp.float32)
+        total_light_area = jnp.sum(light_w)
+        light_cdf = jnp.cumsum(light_w)
 
     def bounce(state, bounce_idx):
-        o, d, throughput, radiance, alive = state
+        o, d, throughput, radiance, alive, specular_chain = state
         hit: Hit = intersect_fn(o, d, scene)
         attrs = resolve_hits(o, d, scene, hit.tri)
         found = alive & hit.hit
@@ -109,9 +156,12 @@ def trace_paths(
         is_glass = mat["type"] == BxdfType.GLASS
 
         # EMITTER: two-sided Le = emissive * intensity (utilities.h:96-103);
-        # path terminates (reference sets outgoing = 0).
+        # path terminates (reference sets outgoing = 0). Under NEE, diffuse-
+        # scattered emitter hits are already accounted by light sampling —
+        # count hit emitters only on camera-direct/specular chains.
         le = mat["emissive"] * mat["intensity"][:, None]
-        radiance = radiance + jnp.where((found & is_emit)[:, None], throughput * le, 0.0)
+        count_emit = (found & is_emit) & (specular_chain if nee else True)
+        radiance = radiance + jnp.where(count_emit[:, None], throughput * le, 0.0)
 
         # Shading frame. One-sided triangles are always front hits (the
         # backface cull guarantees dot(d, gn) < 0); two-sided primitives get
@@ -123,6 +173,45 @@ def trace_paths(
         # Per-bounce randomness: counter-based fold-in, layout-invariant.
         kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, bounce_idx)
         u = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(kb)
+
+        if nee:
+            # Next-event estimation: sample a point on an emissive triangle
+            # (area-proportional), cast a shadow ray, add
+            # throughput · (albedo/π) · Le · cosθ_x·cosθ_y / r² · A_total.
+            # The cos·cos/r² geometry term is differentiable wrt vertices —
+            # the path that makes inverse geometry (config 5) work.
+            kl = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 0x11EE)
+            ul = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(kl)
+            pick = jnp.searchsorted(light_cdf, ul[:, 0] * total_light_area, side="right")
+            pick = jnp.clip(pick, 0, scene.num_triangles - 1).astype(jnp.int32)
+            su = jnp.sqrt(ul[:, 1])
+            b1 = su * (1.0 - ul[:, 2])
+            b2 = su * ul[:, 2]
+            y = scene.v0[pick] + b1[:, None] * scene.e1[pick] + b2[:, None] * scene.e2[pick]
+            # Sanitize missed lanes (their resolved point is meaningless and
+            # can be huge): keep forward residuals finite so VJPs stay clean.
+            x = jnp.where(found[:, None], attrs.point, o)
+            wi_raw = y - x
+            dist2 = jnp.maximum(jnp.sum(wi_raw * wi_raw, axis=-1), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wi = wi_raw / dist[:, None]
+            cos_x = jnp.sum(n_shade * wi, axis=-1)
+            n_y = scene.gn[pick]
+            cos_y = jnp.abs(jnp.sum(n_y * wi, axis=-1))  # two-sided lights
+            shadow_o = x + RAY_OFFSET * n_shade
+            shadow_hit: Hit = intersect_fn(jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(wi), scene)
+            # Visible iff the nearest hit IS the sampled light triangle
+            # (robust to the light itself occluding, two-sided planes, etc.)
+            lit = shadow_hit.hit & (shadow_hit.tri == pick)
+            light_mat = scene.mat_id[pick]
+            le_y = (
+                scene.materials.emissive_color[light_mat]
+                * scene.materials.intensity[light_mat][:, None]
+            )
+            geom = jnp.maximum(cos_x, 0.0) * cos_y / dist2 * total_light_area
+            contrib = throughput * (mat["albedo"] / jnp.pi) * le_y * geom[:, None]
+            use = found & is_diffuse & lit & (total_light_area > 0)
+            radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
 
         # DIFFUSE: cosine-weighted hemisphere sample (the reference warp,
         # utilities.h:46-55); Lambertian throughput factor = albedo.
@@ -184,7 +273,8 @@ def trace_paths(
 
         o = jnp.where(scatter[:, None], new_o, o)
         d = jnp.where(scatter[:, None], new_d, d)
-        return (o, d, new_throughput, radiance, alive_next), None
+        specular_next = specular_chain & (is_mirror | is_glass)
+        return (o, d, new_throughput, radiance, alive_next, specular_next), None
 
     init = (
         origins,
@@ -192,8 +282,9 @@ def trace_paths(
         jnp.ones((r, 3), jnp.float32),
         jnp.zeros((r, 3), jnp.float32),
         jnp.ones((r,), jnp.bool_),
+        jnp.ones((r,), jnp.bool_),  # specular_chain: no diffuse bounce yet
     )
-    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(options.bounces)
     )
     return radiance
@@ -214,9 +305,7 @@ def normal_aov(
     normal.
     """
     if intersect_fn is None:
-        intersect_fn = partial(
-            intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk
-        )
+        intersect_fn = make_intersect_fn(scene, options)
     hit = intersect_fn(origins, directions, scene)
     idx = jnp.maximum(hit.tri, 0)
     n = scene.gn_ref[idx] if reference_parity else scene.gn[idx]

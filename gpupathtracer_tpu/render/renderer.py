@@ -37,6 +37,8 @@ class RenderSettings:
     tri_block: int = 512
     ray_chunk: int = 8192
     use_shading_normals: bool = False
+    intersector: str = "auto"  # see IntegratorOptions.intersector
+    estimator: str = "naive"  # "naive" (reference design) | "nee" (light sampling)
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -47,28 +49,42 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         tri_block=s.tri_block,
         ray_chunk=s.ray_chunk,
         use_shading_normals=s.use_shading_normals,
+        intersector=s.intersector,
+        estimator=s.estimator,
     )
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def render_frame(scene: TriangleScene, camera: Camera, settings: RenderSettings) -> jnp.ndarray:
+def render_frame(
+    scene: TriangleScene,
+    camera: Camera,
+    settings: RenderSettings,
+    seed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Render a full frame; returns mean radiance (H, W, 3) float32.
 
-    Jitted once per (resolution, spp, bounces, aov) combination; scene and
-    camera are traced arguments so parameter updates don't recompile.
+    Jitted once per (resolution, spp, bounces, aov) combination; scene,
+    camera, and the RNG seed are traced arguments so parameter/seed updates
+    don't recompile (``seed=None`` uses ``settings.seed``).
     """
     h, w = settings.height, settings.width
     assert camera.width == w and camera.height == h, "camera/screen size mismatch"
     opts = _integrator_options(settings)
+    from gpupathtracer_tpu.render.integrator import make_intersect_fn
+
+    intersect_fn = make_intersect_fn(scene, opts)  # packs the scene once
 
     if settings.aov in ("normal", "normal_unit"):
         o, d = generate_rays(camera)
-        color = normal_aov(scene, o, d, opts, reference_parity=settings.aov == "normal")
+        color = normal_aov(
+            scene, o, d, opts, reference_parity=settings.aov == "normal",
+            intersect_fn=intersect_fn,
+        )
         return color.reshape(h, w, 3)
 
     r = h * w
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
-    base_key = jax.random.PRNGKey(settings.seed)
+    base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
 
     def sample_step(film_sum, s):
         keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
@@ -78,7 +94,7 @@ def render_frame(scene: TriangleScene, camera: Camera, settings: RenderSettings)
         else:
             jitter_uv = None
         o, d = generate_rays(camera, jitter_uv)
-        radiance = trace_paths(scene, o, d, keys, opts)
+        radiance = trace_paths(scene, o, d, keys, opts, intersect_fn=intersect_fn)
         return film_sum + radiance, None
 
     film_sum, _ = jax.lax.scan(

@@ -125,6 +125,8 @@ def parse_config(cfg: dict, config_dir: str = "."):
         tri_block=int(rnd.get("tri_block", 512)),
         ray_chunk=int(rnd.get("ray_chunk", 8192)),
         use_shading_normals=bool(rnd.get("use_shading_normals", False)),
+        intersector=rnd.get("intersector", "auto"),
+        estimator=rnd.get("estimator", "naive"),
     )
     return specs, materials, camera, settings
 
