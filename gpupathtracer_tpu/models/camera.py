@@ -103,15 +103,19 @@ def generate_rays(cam: Camera, jitter_uv: jnp.ndarray | None = None):
     (kernel.cu:197-205). ``jitter_uv`` of shape (H*W, 2) in [0,1) adds
     sub-pixel offsets for antialiasing (spp > 1).
     """
+    pixel_idx = jnp.arange(cam.height * cam.width, dtype=jnp.uint32)
+    return generate_rays_for_pixels(cam, pixel_idx, jitter_uv)
+
+
+def generate_rays_for_pixels(cam: Camera, pixel_idx: jnp.ndarray, jitter_uv=None):
+    """Primary rays for arbitrary row-major pixel ids (R,) — the sharded
+    renderer passes each device its own pixel slice."""
     w, h = cam.width, cam.height
     inv_view = mat4.inverse(view_matrix(cam))
     inv_proj = mat4.inverse(projection_matrix(cam))
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
-    )
-    xs = xs.reshape(-1)
-    ys = ys.reshape(-1)
+    xs = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
+    ys = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
     if jitter_uv is not None:
         xs = xs + jitter_uv[:, 0]
         ys = ys + jitter_uv[:, 1]

@@ -1,0 +1,130 @@
+"""Sharded rendering: shard_map over the ('data', 'scene') mesh.
+
+Parallel decomposition (SURVEY.md §2.4):
+
+- **'data' (DP/SP)**: row-major pixel slices per device. Sample keys depend
+  only on logical pixel/sample ids (ops/sampling.py::pixel_sample_key), so
+  the sharded render is *bit-identical* to the single-device render — the
+  determinism property the distributed tests assert (SURVEY.md §4.5).
+- **'scene' (TP analogue)**: triangle rows are sharded; each device finds
+  the closest hit in its shard, then the winner is resolved with an
+  all-gather + first-wins argmin over the 'scene' axis — numerically exactly
+  the reference's sequential strictly-nearer loop (kernel.cu:110-125),
+  because shard s holds rows [s·K, (s+1)·K) in scene order and argmin
+  tie-breaks toward lower shard ids.
+- Shading reads the replicated scene (materials + attribute arrays); only
+  the intersection sweep is sharded. Ring rotation of scene blocks (for
+  scenes exceeding per-chip HBM) is the planned extension of this layout.
+
+Everything is jit + shard_map; backward (jax.grad through the shard_map)
+gives data-parallel gradients with XLA-inserted psums — used by the
+distributed training step in __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 canonical location
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from gpupathtracer_tpu.models.camera import Camera
+from gpupathtracer_tpu.models.scene import TriangleScene
+from gpupathtracer_tpu.ops.intersect import Hit
+from gpupathtracer_tpu.render.integrator import make_intersect_fn
+from gpupathtracer_tpu.render.renderer import (
+    RenderSettings,
+    _integrator_options,
+    accumulate_radiance,
+)
+
+_ROW_FIELDS = (
+    "v0", "e1", "e2", "gn", "gn_ref", "n0", "n1", "n2",
+    "uv0", "uv1", "uv2", "geom_id", "mat_id", "two_sided", "valid",
+)
+
+
+def shard_scene_rows(scene: TriangleScene, n_scene: int) -> dict:
+    """Triangle row arrays reshaped (N, ...) → (n_scene, N/n_scene, ...).
+
+    Returned as a dict so shard_map can shard every leaf's leading axis over
+    'scene' while the full scene (materials included) rides along replicated.
+    """
+    n = scene.num_triangles
+    assert n % n_scene == 0, f"triangle count {n} not divisible by scene axis {n_scene}"
+    return {
+        f: getattr(scene, f).reshape(n_scene, n // n_scene, *getattr(scene, f).shape[1:])
+        for f in _ROW_FIELDS
+    }
+
+
+def make_scene_sharded_intersect(local_scene: TriangleScene, rows_per_shard: int, options):
+    """Closest hit across the 'scene' axis: local sweep + all-gather argmin."""
+    local_fn = make_intersect_fn(local_scene, options)
+
+    def intersect(o, d, _scene) -> Hit:
+        h = local_fn(o, d, local_scene)
+        offset = jax.lax.axis_index("scene").astype(jnp.int32) * rows_per_shard
+        tri_global = jnp.where(h.tri >= 0, h.tri + offset, -1)
+        t_all = jax.lax.all_gather(h.t, "scene")  # (S, r)
+        i_all = jax.lax.all_gather(tri_global, "scene")
+        # First-wins argmin over shards == scene-order tie-breaking.
+        s = jnp.argmin(t_all, axis=0)
+        r = jnp.arange(t_all.shape[1])
+        best_t = t_all[s, r]
+        best_i = i_all[s, r]
+        return Hit(t=best_t, tri=best_i, hit=best_i >= 0)
+
+    return intersect
+
+
+def render_frame_distributed(
+    scene: TriangleScene,
+    camera: Camera,
+    settings: RenderSettings,
+    mesh: Mesh,
+    seed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Distributed render: returns the (H, W, 3) mean-radiance frame.
+
+    Pixels shard over 'data'; the intersection sweep shards over 'scene'.
+    Bit-identical to render_frame for any mesh shape (layout-invariant keys,
+    per-pixel accumulation, exact hit resolution).
+    """
+    h, w = settings.height, settings.width
+    r = h * w
+    n_data = mesh.shape["data"]
+    n_scene = mesh.shape["scene"]
+    assert r % n_data == 0, f"pixels {r} not divisible by data axis {n_data}"
+
+    pixel_idx = jnp.arange(r, dtype=jnp.uint32)
+    base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
+    rows = shard_scene_rows(scene, n_scene)
+    rows_per_shard = scene.num_triangles // n_scene
+    opts = _integrator_options(settings)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P(None), P("scene"), P(None)),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def run(pix, scene_rep, tri_shard, key):
+        local_scene = scene_rep.replace(
+            **{f: tri_shard[f][0] for f in _ROW_FIELDS}
+        )
+        if n_scene == 1:
+            intersect_fn = make_intersect_fn(local_scene, opts)
+        else:
+            intersect_fn = make_scene_sharded_intersect(local_scene, rows_per_shard, opts)
+        return accumulate_radiance(scene_rep, camera, pix, settings, key, intersect_fn)
+
+    film_sum = run(pixel_idx, scene, rows, base_key)
+    return (film_sum / settings.spp).reshape(h, w, 3)

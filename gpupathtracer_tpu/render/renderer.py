@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from gpupathtracer_tpu.models.camera import Camera, generate_rays
+from gpupathtracer_tpu.models.camera import Camera, generate_rays, generate_rays_for_pixels
 from gpupathtracer_tpu.models.scene import TriangleScene
 from gpupathtracer_tpu.ops import sampling
 from gpupathtracer_tpu.render.integrator import IntegratorOptions, normal_aov, trace_paths
@@ -85,6 +85,23 @@ def render_frame(
     r = h * w
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
+    film_sum = accumulate_radiance(
+        scene, camera, pixel_idx, settings, base_key, intersect_fn
+    )
+    return (film_sum / settings.spp).reshape(h, w, 3)
+
+
+def accumulate_radiance(scene, camera, pixel_idx, settings, base_key, intersect_fn):
+    """Sum of per-sample radiance for the given pixels (spp loop, `lax.scan`).
+
+    ``pixel_idx`` identifies which logical pixels these lanes are — sample
+    keys depend only on (base_key, pixel id, sample id), so a sharded caller
+    (parallel/render.py) passing each device its pixel slice reproduces the
+    single-device sample sequences bit-exactly (layout-invariant RNG,
+    SURVEY.md §4.5).
+    """
+    opts = _integrator_options(settings)
+    r = pixel_idx.shape[0]
 
     def sample_step(film_sum, s):
         keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
@@ -93,14 +110,14 @@ def render_frame(
             jitter_uv = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(aa_keys)
         else:
             jitter_uv = None
-        o, d = generate_rays(camera, jitter_uv)
+        o, d = generate_rays_for_pixels(camera, pixel_idx, jitter_uv)
         radiance = trace_paths(scene, o, d, keys, opts, intersect_fn=intersect_fn)
         return film_sum + radiance, None
 
     film_sum, _ = jax.lax.scan(
         sample_step, jnp.zeros((r, 3), jnp.float32), jnp.arange(settings.spp)
     )
-    return (film_sum / settings.spp).reshape(h, w, 3)
+    return film_sum
 
 
 def render(scene: TriangleScene, camera: Camera, settings: RenderSettings):
