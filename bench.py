@@ -39,6 +39,9 @@ def run_benchmark(
 
     from gpupathtracer_tpu.render.renderer import render_frame
     from gpupathtracer_tpu.utils.config import load_scene_file
+    from gpupathtracer_tpu.utils.debug import enable_compile_cache
+
+    enable_compile_cache()
 
     scene_path = scene_path or os.path.join(REPO, "scenes", "config3_wahoo.toml")
     scene, camera, settings = load_scene_file(scene_path)

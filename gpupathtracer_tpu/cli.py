@@ -14,20 +14,43 @@ import time
 
 
 def cmd_render(args) -> int:
-    import jax
+    import dataclasses
+
+    import numpy as np
 
     from gpupathtracer_tpu.render import film
     from gpupathtracer_tpu.render.renderer import render_frame
     from gpupathtracer_tpu.utils.config import load_scene_file
     from gpupathtracer_tpu.utils.image import write_image
+    from gpupathtracer_tpu.utils.profiling import trace
 
     scene, camera, settings = load_scene_file(args.scene)
+    overrides = {}
     if args.spp:
-        settings = __import__("dataclasses").replace(settings, spp=args.spp)
+        overrides["spp"] = args.spp
     if args.aov:
-        settings = __import__("dataclasses").replace(settings, aov=args.aov)
+        overrides["aov"] = args.aov
+    if args.estimator:
+        overrides["estimator"] = args.estimator
+    if args.intersector:
+        overrides["intersector"] = args.intersector
+    if overrides:
+        settings = dataclasses.replace(settings, **overrides)
     t0 = time.perf_counter()
-    img = jax.block_until_ready(render_frame(scene, camera, settings))
+    with trace(args.profile_dir):
+        if args.checkpoint or args.chunk_spp:
+            from gpupathtracer_tpu.render.progressive import render_progressive
+
+            img = render_progressive(
+                scene,
+                camera,
+                settings,
+                chunk_spp=args.chunk_spp or 16,
+                checkpoint_path=args.checkpoint,
+                metrics_path=args.metrics,
+            )
+        else:
+            img = np.asarray(render_frame(scene, camera, settings))
     t1 = time.perf_counter()
     write_image(args.out, film.to_u8(img, gamma=args.gamma))
     spp_eff = 1 if settings.aov != "radiance" else settings.spp
@@ -69,6 +92,12 @@ def main(argv=None) -> int:
     pr.add_argument("--spp", type=int, default=None)
     pr.add_argument("--aov", default=None, choices=["radiance", "normal", "normal_unit"])
     pr.add_argument("--gamma", type=float, default=None)
+    pr.add_argument("--estimator", default=None, choices=["naive", "nee"])
+    pr.add_argument("--intersector", default=None, choices=["auto", "pallas", "plucker", "brute"])
+    pr.add_argument("--checkpoint", default=None, help="film checkpoint path (.npz); resumes if present")
+    pr.add_argument("--chunk-spp", type=int, default=None, help="progressive chunk size")
+    pr.add_argument("--metrics", default=None, help="JSONL metrics stream path")
+    pr.add_argument("--profile-dir", default=None, help="jax.profiler trace output dir")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("benchmark", help="run the rays/sec benchmark")
@@ -92,6 +121,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from gpupathtracer_tpu.utils.debug import enable_compile_cache
+
+    enable_compile_cache()
     return args.fn(args)
 
 

@@ -91,17 +91,23 @@ def render_frame(
     return (film_sum / settings.spp).reshape(h, w, 3)
 
 
-def accumulate_radiance(scene, camera, pixel_idx, settings, base_key, intersect_fn):
+def accumulate_radiance(
+    scene, camera, pixel_idx, settings, base_key, intersect_fn, sample_start=0, num_samples=None
+):
     """Sum of per-sample radiance for the given pixels (spp loop, `lax.scan`).
 
     ``pixel_idx`` identifies which logical pixels these lanes are — sample
-    keys depend only on (base_key, pixel id, sample id), so a sharded caller
-    (parallel/render.py) passing each device its pixel slice reproduces the
-    single-device sample sequences bit-exactly (layout-invariant RNG,
-    SURVEY.md §4.5).
+    keys depend only on (base_key, pixel id, *global* sample id), so a
+    sharded caller (parallel/render.py) passing each device its pixel slice
+    reproduces the single-device sample sequences bit-exactly
+    (layout-invariant RNG, SURVEY.md §4.5), and a progressive caller
+    (render/progressive.py) accumulating sample ranges [start, start+n) is
+    bit-exact with a one-shot render of the union — the basis of
+    sample-exact checkpoint/resume.
     """
     opts = _integrator_options(settings)
     r = pixel_idx.shape[0]
+    n = settings.spp if num_samples is None else num_samples
 
     def sample_step(film_sum, s):
         keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
@@ -115,9 +121,36 @@ def accumulate_radiance(scene, camera, pixel_idx, settings, base_key, intersect_
         return film_sum + radiance, None
 
     film_sum, _ = jax.lax.scan(
-        sample_step, jnp.zeros((r, 3), jnp.float32), jnp.arange(settings.spp)
+        sample_step, jnp.zeros((r, 3), jnp.float32), sample_start + jnp.arange(n)
     )
     return film_sum
+
+
+@partial(jax.jit, static_argnames=("settings", "num_samples"))
+def render_samples(
+    scene: TriangleScene,
+    camera: Camera,
+    settings: RenderSettings,
+    sample_start: jnp.ndarray,
+    num_samples: int,
+    seed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Radiance SUM over global samples [start, start+num) — (H, W, 3).
+
+    The progressive/checkpointed entry point: summing chunk outputs over a
+    partition of [0, spp) is bit-identical to ``render_frame * spp``.
+    """
+    h, w = settings.height, settings.width
+    pixel_idx = jnp.arange(h * w, dtype=jnp.uint32)
+    base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
+    from gpupathtracer_tpu.render.integrator import make_intersect_fn
+
+    intersect_fn = make_intersect_fn(scene, _integrator_options(settings))
+    film = accumulate_radiance(
+        scene, camera, pixel_idx, settings, base_key, intersect_fn,
+        sample_start=sample_start, num_samples=num_samples,
+    )
+    return film.reshape(h, w, 3)
 
 
 def render(scene: TriangleScene, camera: Camera, settings: RenderSettings):
