@@ -74,6 +74,59 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Turntable 'viewer': orbit the camera, write a PNG frame sequence.
+
+    The offline analogue of the reference's GLFW viewer + WASD/arrow camera
+    (utilities.h:434-778, 858-893): the same Camera yaw/pitch/position model
+    drives frame-to-frame motion; one jit compile serves every frame.
+    """
+    import dataclasses
+    import os
+
+    import numpy as np
+
+    from gpupathtracer_tpu.models.camera import Camera
+    from gpupathtracer_tpu.render import film
+    from gpupathtracer_tpu.render.renderer import render_frame
+    from gpupathtracer_tpu.utils.config import load_scene_file
+    from gpupathtracer_tpu.utils.image import write_png
+
+    scene, camera, settings = load_scene_file(args.scene)
+    if args.spp:
+        settings = dataclasses.replace(settings, spp=args.spp)
+    os.makedirs(args.out, exist_ok=True)
+    pos0 = np.asarray(camera.position)
+    # Orbit about the world-up axis through the origin at the camera radius.
+    radius = float(np.linalg.norm(pos0[[0, 2]]))
+    base_angle = float(np.arctan2(pos0[2], pos0[0]))
+    frames = []
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        ang = base_angle + 2.0 * np.pi * i / args.frames
+        pos = np.asarray([radius * np.cos(ang), pos0[1], radius * np.sin(ang)], np.float32)
+        yaw = np.degrees(ang) + 180.0  # look back at the origin
+        cam = camera.replace(
+            position=pos.astype(np.float32), yaw=np.float32(yaw)
+        )
+        img = np.asarray(render_frame(scene, cam, settings))
+        frame_path = os.path.join(args.out, f"frame_{i:04d}.png")
+        u8 = film.to_u8(img, gamma=args.gamma)
+        write_png(frame_path, u8)
+        frames.append(u8)
+        print(f"frame {i + 1}/{args.frames} -> {frame_path}", flush=True)
+    if args.gif:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            os.path.join(args.out, "turntable.gif"),
+            save_all=True, append_images=imgs[1:], duration=120, loop=0,
+        )
+    print(f"{args.frames} frames in {time.perf_counter() - t0:.1f}s -> {args.out}")
+    return 0
+
+
 def cmd_invert(args) -> int:
     from gpupathtracer_tpu.grad.inverse import run_inverse_demo
 
@@ -105,6 +158,15 @@ def main(argv=None) -> int:
     pb.add_argument("--warmup", type=int, default=1)
     pb.add_argument("--iters", type=int, default=3)
     pb.set_defaults(fn=cmd_benchmark)
+
+    pv = sub.add_parser("view", help="turntable orbit render (offline viewer)")
+    pv.add_argument("scene")
+    pv.add_argument("--out", default="turntable")
+    pv.add_argument("--frames", type=int, default=12)
+    pv.add_argument("--spp", type=int, default=None)
+    pv.add_argument("--gamma", type=float, default=2.2)
+    pv.add_argument("--gif", action="store_true")
+    pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
     pi.add_argument("--steps", type=int, default=100)

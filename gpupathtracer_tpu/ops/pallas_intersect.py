@@ -232,12 +232,16 @@ def _interval_div(nlo, nhi, dlo, dhi):
     return jnp.where(straddles, -INF, lo), jnp.where(straddles, INF, hi)
 
 
-def tile_block_mask(o, d, packed: PackedScene, ray_tile: int) -> jnp.ndarray:
-    """(ray_tiles, tri_blocks) int32: 1 = must test, 0 = provably no hit.
+def tile_block_mask(o, d, packed: PackedScene, ray_tile: int):
+    """Conservative tile×block culling data.
 
-    Interval-arithmetic frustum test: rays of a tile are abstracted as
-    origin ∈ [o_min,o_max], direction ∈ [d_min,d_max]; a block is skipped if
-    the conservative slab intervals of its AABB have empty t ≥ 0 overlap.
+    Returns ``(mask, enter)``, both (ray_tiles, tri_blocks):
+    - ``mask`` int32: 1 = must test, 0 = provably no hit. Interval-arithmetic
+      frustum test — rays of a tile abstracted as origin ∈ [o_min,o_max],
+      direction ∈ [d_min,d_max]; a block is skipped when the conservative
+      slab intervals of its AABB have empty t ≥ 0 overlap.
+    - ``enter`` float32: a LOWER BOUND on the hit distance of any tile ray
+      into the block's AABB — the front-to-back ordering / early-exit key.
     """
     rt = o.shape[0] // ray_tile
     ot = o.reshape(rt, ray_tile, 3)
@@ -253,10 +257,31 @@ def tile_block_mask(o, d, packed: PackedScene, ray_tile: int) -> jnp.ndarray:
     enter = jnp.max(t_lo, axis=-1)
     exit_ = jnp.min(t_hi, axis=-1)
     hit_possible = (enter <= exit_) & (packed.block_live[None, :] > 0)
-    return hit_possible.astype(jnp.int32)
+    return hit_possible.astype(jnp.int32), enter
 
 
-def _kernel(mask_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int):
+def plan_block_order(mask: jnp.ndarray, enter: jnp.ndarray):
+    """Per-tile front-to-back block schedule.
+
+    Returns ``(order, enter_sorted)``: ``order[i, j]`` is the j-th block id
+    tile i should visit (ascending conservative entry distance); culled
+    blocks sort to the tail with the sentinel id ``nb`` (skip). The kernel
+    additionally early-exits a step when ``enter_sorted[i, j]`` exceeds the
+    tile's current worst best-t — the packet-tracing analogue of BVH
+    front-to-back traversal with t-pruning.
+    """
+    nb = mask.shape[1]
+    key = jnp.where(mask > 0, enter, INF)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    enter_sorted = jnp.take_along_axis(key, order, axis=1)
+    order = jnp.where(jnp.isfinite(enter_sorted), order, nb)
+    # Transposed to (nb, rt): SMEM pads the LAST dim to 128 lanes, so the
+    # long (ray-tile) axis must be last or the prefetch blows the 1MB SMEM.
+    return order.T, enter_sorted
+
+
+def _kernel(order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -264,7 +289,13 @@ def _kernel(mask_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int):
         best_t_ref[0, 0, :] = jnp.full((best_t_ref.shape[2],), BIG, jnp.float32)
         best_i_ref[0, 0, :] = jnp.full((best_i_ref.shape[2],), -1, jnp.int32)
 
-    @pl.when(mask_ref[0, 0, j] > 0)
+    blk = order_ref[j, i]  # (nb, rt) layout — see plan_block_order
+    # Early exit: blocks arrive front-to-back per tile; once every ray in the
+    # tile has a hit nearer than this block's conservative entry distance,
+    # no remaining block can improve anything.
+    worst = jnp.max(best_t_ref[0, 0, :])
+
+    @pl.when((blk < nb) & (enter_ref[0, 0, j] < worst))
     def _():
         # HIGHEST: true f32 MXU passes. Single-pass bf16 flips ~1% of hit
         # decisions vs the f32 oracle — unacceptable for geometry.
@@ -288,7 +319,8 @@ def _kernel(mask_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int):
         t = jnp.where(ok, t, BIG)
 
         blk_min = jnp.min(t, axis=-1)
-        blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + j * tb
+        # First-wins argmin within the block; offset by the *scheduled* block.
+        blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
 
         prev_t = best_t_ref[0, 0, :]
         upd = blk_min < prev_t  # strict <: earlier blocks win ties (kernel.cu:115)
@@ -297,28 +329,34 @@ def _kernel(mask_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
-def _launch(mask, feats, w, ray_tile: int, interpret: bool):
+def _launch(order, enter, feats, w, ray_tile: int, interpret: bool):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
 
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        # `order` is scalar-prefetched: the w BlockSpec's index_map reads it
+        # to fetch tile-specific blocks in front-to-back order.
+        num_scalar_prefetch=1,
         grid=(rt, nb),
         in_specs=[
-            # Current tile's cull-mask row only — the full (rt, nb) mask can
-            # exceed the 1MB SMEM budget (rows pad to 128 lanes).
-            pl.BlockSpec((1, 1, nb), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, five_tb), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            # Current tile's sorted entry distances (early-exit keys).
+            pl.BlockSpec((1, 1, nb), lambda i, j, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, j, order: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, K, five_tb),
+                lambda i, j, order: (jnp.minimum(order[j, i], nb - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j, order: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel, tb=tb),
+        functools.partial(_kernel, tb=tb, nb=nb),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
@@ -330,8 +368,40 @@ def _launch(mask, feats, w, ray_tile: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(mask[:, None, :], feats, w)
+    )(order, enter[:, None, :], feats, w)
     return best_t.reshape(-1), best_i.reshape(-1)
+
+
+def make_sorted_intersect(intersect_fn, packed: PackedScene):
+    """Wrap a closest-hit fn with per-call ray sorting for tile coherence.
+
+    Secondary-bounce rays are direction-incoherent, which defeats the
+    interval frustum culling (a tile whose directions straddle 0 on every
+    axis has unbounded t intervals). Sorting rays by (direction octant,
+    direction Morton, origin Morton) makes tiles sign-coherent so culling
+    and front-to-back scheduling fire again; results are scattered back to
+    the original lane order (bit-identical hits, order restored).
+    """
+    lo = packed.box_lo.min(axis=0)
+    hi = packed.box_hi.max(axis=0)
+
+    def wrapped(o, d, scene) -> Hit:
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        octant = (
+            (d[:, 0] < 0).astype(jnp.uint32)
+            + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+            + 4 * (d[:, 2] < 0).astype(jnp.uint32)
+        )
+        dm = _morton_codes(d, jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]))
+        om = _morton_codes(o, lo, hi)
+        key = (octant << 27) | ((dm >> 18) << 15) | (om >> 15)
+        perm = jnp.argsort(key)
+        h = intersect_fn(o[perm], d[perm], scene)
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+        return Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv])
+
+    return wrapped
 
 
 def intersect_pallas(
@@ -356,9 +426,10 @@ def intersect_pallas(
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    mask = tile_block_mask(o, d, packed, ray_tile)
+    mask, enter = tile_block_mask(o, d, packed, ray_tile)
+    order, enter_sorted = plan_block_order(mask, enter)
     best_t, best_i = _launch(
-        mask, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+        order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
     )
     best_t = best_t[:r]
     best_i = best_i[:r]

@@ -67,6 +67,10 @@ class IntegratorOptions:
     # is differentiable wrt vertices/normals, whereas naive PT's path
     # contributions are products of constants (see grad/).
     estimator: str = "naive"
+    # Sort rays by (direction octant, Morton) before the Pallas kernel so
+    # secondary-bounce tiles stay sign-coherent and frustum culling fires.
+    # Default off: pays only on large scenes (see RenderSettings.sort_rays).
+    sort_rays: bool = False
 
 
 def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
@@ -91,9 +95,12 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
     if which == "pallas":
         packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
         interpret = _jax.default_backend() != "tpu"
-        return lambda o, d, _scene: pallas_intersect.intersect_pallas(
+        base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
             o, d, packed, interpret=interpret
         )
+        if options.sort_rays:
+            return pallas_intersect.make_sorted_intersect(base, packed)
+        return base
     raise ValueError(f"unknown intersector {options.intersector!r}")
 
 

@@ -39,6 +39,11 @@ class RenderSettings:
     use_shading_normals: bool = False
     intersector: str = "auto"  # see IntegratorOptions.intersector
     estimator: str = "naive"  # "naive" (reference design) | "nee" (light sampling)
+    # Per-call ray sorting for bounce coherence (pallas backend). Off by
+    # default: measured on the ~6k-tri workloads the argsort+gathers cost
+    # (~25ms/call) exceeds the culling gain; enable for large scenes where
+    # per-block culling has more to win.
+    sort_rays: bool = False
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -51,6 +56,7 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         use_shading_normals=s.use_shading_normals,
         intersector=s.intersector,
         estimator=s.estimator,
+        sort_rays=s.sort_rays,
     )
 
 
