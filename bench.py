@@ -74,7 +74,8 @@ def run_benchmark(
     rays = settings.width * settings.height * settings.spp * settings.bounces
     dt = statistics.median(times)
     value = rays / dt
-    return {
+
+    result = {
         "metric": "rays_per_sec_chip_fwd",
         "value": round(value, 1),
         "unit": "rays/s",
@@ -87,6 +88,61 @@ def run_benchmark(
         "warmup_s": round(compile_s, 2),
         "device": str(jax.devices()[0]),
     }
+
+    if backward:
+        result["fwd_bwd"] = _backward_bench(scene, camera, settings, iters)
+    return result
+
+
+def _backward_bench(scene, camera, settings, iters: int):
+    """Forward+backward rays/sec: grad of an image loss wrt materials +
+    vertices through the full estimator (spp=1 workload, scaled metric)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    settings = dataclasses.replace(settings, spp=1)
+
+    def loss(v0, albedo, seed):
+        s = scene.replace(
+            v0=v0, materials=scene.materials.replace(albedo=albedo)
+        )
+        from gpupathtracer_tpu.render.renderer import render_frame
+
+        return jnp.mean(render_frame(s, camera, settings, seed=seed))
+
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    def step(i):
+        g0, g1 = grad_fn(scene.v0, scene.materials.albedo, jnp.uint32(i))
+        return float(jnp.sum(g0.ravel()[0:1])) + float(jnp.sum(g1.ravel()[0:1]))
+
+    t0 = time.perf_counter()
+    step(0)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        step(1 + i)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    rays = settings.width * settings.height * 1 * settings.bounces
+    return {
+        "rays_per_sec": round(rays / dt, 1),
+        "median_s": round(dt, 4),
+        "warmup_s": round(compile_s, 2),
+    }
+
+
+def run_scaling_probe(n_devices: int = 8):
+    """Mesh-scaling structure check on virtual CPU devices (no perf claim)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n_devices)
 
 
 if __name__ == "__main__":

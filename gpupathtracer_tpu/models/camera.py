@@ -133,6 +133,17 @@ def generate_rays_for_pixels(cam: Camera, pixel_idx: jnp.ndarray, jitter_uv=None
     return origins, dirs
 
 
+def mouse_move(cam: Camera, dx: float, dy: float, constrain_pitch: bool = True) -> Camera:
+    """Mouse-look — reference ProcessMouseMovement (utilities.h:385-404):
+    yaw += dx·sensitivity, pitch += dy·sensitivity, pitch clamped to ±89°."""
+    sensitivity = 0.2  # m_cameraMouseSensitivity (utilities.h:288)
+    yaw = cam.yaw + dx * sensitivity
+    pitch = cam.pitch + dy * sensitivity
+    if constrain_pitch:
+        pitch = jnp.clip(pitch, -89.0, 89.0)
+    return cam.replace(yaw=yaw, pitch=pitch)
+
+
 def move(cam: Camera, direction: int) -> Camera:
     """Keyboard-style camera controls — reference ProcessKeyboard (utilities.h:343-382).
 

@@ -420,6 +420,10 @@ def intersect_pallas(
     r = o.shape[0]
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    # The whole packed scene is detached: the kernel's discrete search has no
+    # VJP (resolve_hits re-derives differentiably); box arrays feeding the
+    # cull mask must not leak tangents into pallas_call either.
+    packed = jax.lax.stop_gradient(packed)
     feats = pack_rays(o, d)
     pad = (-r) % ray_tile
     if pad:

@@ -2,6 +2,8 @@
 emitter, camera, and vertex parameters (SURVEY.md §4.3). The fixed-seed
 renderer is a deterministic function, so FD is exact up to fp error."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,6 +121,20 @@ def test_camera_gradient_nonzero_finite():
 
     g = float(jax.grad(loss)(jnp.float32(0.0)))
     assert np.isfinite(g) and g != 0
+
+
+def test_grads_with_pallas_intersector():
+    """The Pallas backend must be gradient-transparent (fully detached
+    search + differentiable resolve) — regression for tangents leaking into
+    pallas_call through the cull-mask box arrays."""
+    settings = dataclasses.replace(SETTINGS, intersector="pallas", tri_block=128)
+
+    def loss(a):
+        scene = scene_from(albedo=jnp.stack([a, jnp.float32(0.5), jnp.float32(0.5)]))
+        return jnp.mean(render_frame(scene, CAMERA, settings))
+
+    g = float(jax.grad(loss)(jnp.float32(0.6)))
+    assert np.isfinite(g) and g > 0
 
 
 def test_whole_param_tree_grads_finite():
