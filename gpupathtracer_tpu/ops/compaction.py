@@ -1,0 +1,55 @@
+"""Ray-stream compaction under static shapes (SURVEY.md §7.3 "compaction
+under jit").
+
+XLA needs static shapes, so dead paths can't shrink the array — but they
+CAN be made free. ``partition_alive`` computes a stable alive-first
+permutation with two cumsums (the segmented-scan compaction the reference
+stubbed as its ``d_raysToTrace`` buffer, kernel.cu:300-302). The integrator
+permutes rays before intersection and parks dead lanes on a ray that starts
+far outside the scene pointing away: whole tiles of dead lanes then fail
+the tile×block frustum test and every kernel step for them is skipped —
+wavefront compaction expressed as culling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# A parked ray: far outside any practical scene, pointing further away.
+DEAD_ORIGIN = (3.0e7, 3.0e7, 3.0e7)
+DEAD_DIR = (0.577350269, 0.577350269, 0.577350269)
+
+
+def partition_alive(alive: jnp.ndarray):
+    """Stable alive-first permutation.
+
+    Returns ``(perm, inv)`` such that ``x[perm]`` lists live lanes first
+    (original order preserved within each class) and ``y[inv]`` undoes it.
+    O(n) — two cumsums and a scatter; no sort.
+    """
+    n = alive.shape[0]
+    alive_i = alive.astype(jnp.int32)
+    n_alive = jnp.sum(alive_i)
+    rank_alive = jnp.cumsum(alive_i) - 1  # position among live lanes
+    rank_dead = jnp.cumsum(1 - alive_i) - 1  # position among dead lanes
+    dest = jnp.where(alive, rank_alive, n_alive + rank_dead)
+    # dest is a permutation: dest[i] = new position of lane i  ⇒ inv scatter.
+    inv = dest  # y[inv] with y in packed order restores original order ⇒
+    # we need perm with packed[j] = orig[perm[j]]: scatter identity by dest.
+    perm = jnp.zeros((n,), dest.dtype).at[dest].set(jnp.arange(n, dtype=dest.dtype))
+    return perm, inv
+
+
+def compact_rays(o: jnp.ndarray, d: jnp.ndarray, alive: jnp.ndarray):
+    """Permute rays alive-first and park dead lanes on the far ray.
+
+    Returns ``(o_c, d_c, inv)``; gather results with ``res[inv]``.
+    """
+    perm, inv = partition_alive(alive)
+    dead_o = jnp.asarray(DEAD_ORIGIN, o.dtype)
+    dead_d = jnp.asarray(DEAD_DIR, d.dtype)
+    alive_c = alive[perm][:, None]
+    o_c = jnp.where(alive_c, o[perm], dead_o)
+    d_c = jnp.where(alive_c, d[perm], dead_d)
+    return o_c, d_c, inv

@@ -71,6 +71,20 @@ class IntegratorOptions:
     # secondary-bounce tiles stay sign-coherent and frustum culling fires.
     # Default off: pays only on large scenes (see RenderSettings.sort_rays).
     sort_rays: bool = False
+    # Dead-lane compaction: permute rays alive-first per bounce and park dead
+    # lanes outside the scene so their tiles cull every block — wavefront
+    # compaction under static shapes (ops/compaction.py). Effective with the
+    # Pallas backend only (tile-level culling); auto-gated on it.
+    compact: bool = True
+
+
+def resolved_intersector(options: IntegratorOptions) -> str:
+    import jax as _jax
+
+    which = options.intersector
+    if which == "auto":
+        return "pallas" if _jax.default_backend() == "tpu" else "plucker"
+    return which
 
 
 def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
@@ -78,13 +92,9 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
 
     Packs the scene once (hoisted out of the bounce/sample loops under jit).
     """
-    import jax as _jax
-
     from gpupathtracer_tpu.ops import pallas_intersect, plucker
 
-    which = options.intersector
-    if which == "auto":
-        which = "pallas" if _jax.default_backend() == "tpu" else "plucker"
+    which = resolved_intersector(options)
     if which == "brute":
         return partial(intersect_brute, tri_block=options.tri_block, ray_chunk=options.ray_chunk)
     if which == "plucker":
@@ -93,6 +103,8 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
             o, d, packed, ray_chunk=options.ray_chunk
         )
     if which == "pallas":
+        import jax as _jax
+
         packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
         interpret = _jax.default_backend() != "tpu"
         base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
@@ -145,9 +157,23 @@ def trace_paths(
         total_light_area = jnp.sum(light_w)
         light_cdf = jnp.cumsum(light_w)
 
+    do_compact = options.compact and resolved_intersector(options) == "pallas"
+
+    def masked_intersect(o, d, mask) -> Hit:
+        """Closest hit for lanes where mask holds; dead lanes are compacted
+        away (tile-level cull) and report no hit."""
+        if not do_compact:
+            h = intersect_fn(o, d, scene)
+            return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
+        from gpupathtracer_tpu.ops.compaction import compact_rays
+
+        o_c, d_c, inv = compact_rays(o, d, mask)
+        h = intersect_fn(o_c, d_c, scene)
+        return Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv] & mask)
+
     def bounce(state, bounce_idx):
         o, d, throughput, radiance, alive, specular_chain = state
-        hit: Hit = intersect_fn(o, d, scene)
+        hit: Hit = masked_intersect(o, d, alive)
         attrs = resolve_hits(o, d, scene, hit.tri)
         found = alive & hit.hit
         missed = alive & ~hit.hit
@@ -206,7 +232,9 @@ def trace_paths(
             n_y = scene.gn[pick]
             cos_y = jnp.abs(jnp.sum(n_y * wi, axis=-1))  # two-sided lights
             shadow_o = x + RAY_OFFSET * n_shade
-            shadow_hit: Hit = intersect_fn(jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(wi), scene)
+            shadow_hit: Hit = masked_intersect(
+                jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(wi), found & is_diffuse
+            )
             # Visible iff the nearest hit IS the sampled light triangle
             # (robust to the light itself occluding, two-sided planes, etc.)
             lit = shadow_hit.hit & (shadow_hit.tri == pick)

@@ -44,6 +44,7 @@ class RenderSettings:
     # (~25ms/call) exceeds the culling gain; enable for large scenes where
     # per-block culling has more to win.
     sort_rays: bool = False
+    compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -57,6 +58,7 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         intersector=s.intersector,
         estimator=s.estimator,
         sort_rays=s.sort_rays,
+        compact=s.compact,
     )
 
 

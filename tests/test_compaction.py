@@ -1,0 +1,59 @@
+"""Dead-lane compaction: stable partition correctness and estimator
+invariance (compaction must not change a single sample)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpupathtracer_tpu.models.camera import Camera
+from gpupathtracer_tpu.models.scene import build_scene, mesh_spec, plane_spec
+from gpupathtracer_tpu.ops.compaction import compact_rays, partition_alive
+from gpupathtracer_tpu.render.renderer import RenderSettings, render_frame
+
+
+def test_partition_alive_stable():
+    alive = jnp.asarray([True, False, True, True, False, False, True, False])
+    perm, inv = partition_alive(alive)
+    perm = np.asarray(perm)
+    # Live lanes first, original order preserved within classes.
+    assert perm.tolist() == [0, 2, 3, 6, 1, 4, 5, 7]
+    x = jnp.arange(8)
+    packed = x[jnp.asarray(perm)]
+    restored = packed[inv]
+    np.testing.assert_array_equal(np.asarray(restored), np.asarray(x))
+
+
+def test_compact_rays_roundtrip():
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    alive = jnp.asarray(rng.random(16) > 0.5)
+    o_c, d_c, inv = compact_rays(o, d, alive)
+    o_back = o_c[inv]
+    # Live lanes restore exactly; dead lanes are parked.
+    np.testing.assert_allclose(
+        np.asarray(o_back)[np.asarray(alive)], np.asarray(o)[np.asarray(alive)]
+    )
+    assert (np.asarray(o_c)[np.asarray(alive[np.asarray(partition_alive(alive)[0])]) == False] > 1e6).all()
+
+
+def test_render_invariant_under_compaction():
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/triangle.obj", mat_id=0),
+            plane_spec((0.5, 0.5, -1.5), (0, 0, 0), (4, 4, 4), mat_id=1),
+        ],
+        [
+            {"type": "diffuse", "albedo": (1.0, 0.0, 0.0)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ],
+        pad_to_multiple=128,
+    )
+    cam = Camera.create(position=(0.5, 0.5, 3.0), width=24, height=24)
+    base = dict(
+        width=24, height=24, spp=2, bounces=3, tri_block=128,
+        intersector="pallas", estimator="nee",
+    )
+    img_on = np.asarray(render_frame(scene, cam, RenderSettings(**base, compact=True)))
+    img_off = np.asarray(render_frame(scene, cam, RenderSettings(**base, compact=False)))
+    np.testing.assert_array_equal(img_on, img_off)
