@@ -41,8 +41,13 @@ from gpupathtracer_tpu.models.scene import TriangleScene
 from gpupathtracer_tpu.ops.intersect import BIG, EPSILON, Hit
 from gpupathtracer_tpu.ops.plucker import K, NSCALARS, pack_rays
 
-DEFAULT_RAY_TILE = 256
+DEFAULT_RAY_TILE = 128
 INF = float("inf")
+
+# The per-tile block schedule (order, (nb, ray_tiles) int32) is scalar-
+# prefetched to SMEM (1 MB); keep it comfortably under budget by widening
+# ray tiles when the scene has many blocks (see intersect_pallas).
+SCHEDULE_SMEM_BUDGET = 800 * 1024
 
 
 @struct.dataclass
@@ -328,6 +333,108 @@ def _kernel(order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, t
         best_i_ref[0, 0, :] = jnp.where(upd & (blk_min < BIG), blk_arg, best_i_ref[0, 0, :])
 
 
+def _kernel_resident(
+    order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int
+):
+    """VMEM-resident variant: grid over ray tiles ONLY; the per-tile block
+    schedule runs as an in-kernel ``while_loop`` with true early exit.
+
+    The whole packed scene ``w`` lives in VMEM for the kernel's duration
+    (selected only when it fits — see ``RESIDENT_BUDGET_BYTES``), so each
+    scheduled block is a dynamic VMEM slice: no per-block grid-step overhead,
+    no HBM re-streaming, and the loop STOPS at the early-exit point instead
+    of predicating away the remaining grid steps — the wavefront analogue of
+    the reference's per-thread serial loop (kernel.cu:133-156) at tile
+    granularity."""
+    i = pl.program_id(0)
+    feats = feats_ref[:]
+
+    def cond(state):
+        j, _bt, _bi, worst = state
+        # Blocks arrive front-to-back; culled entries carry enter = +inf.
+        return (j < nb) & (enter_ref[0, 0, j] < worst)
+
+    def body(state):
+        j, best_t, best_i, _worst = state
+        blk = order_ref[j, i]
+        s = jnp.dot(
+            feats,
+            w_ref[blk],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TR, 5*tb)
+        s0 = s[:, 0 * tb : 1 * tb]
+        s1 = s[:, 1 * tb : 2 * tb]
+        s2 = s[:, 2 * tb : 3 * tb]
+        dd = s[:, 3 * tb : 4 * tb]
+        num = s[:, 4 * tb : 5 * tb]
+        ok = (dd <= -EPSILON) & (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+        t = num / dd
+        ok &= t > EPSILON  # kernel.cu:97
+        t = jnp.where(ok, t, BIG)
+        blk_min = jnp.min(t, axis=-1)
+        blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
+        upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
+        best_t = jnp.where(upd, blk_min, best_t)
+        best_i = jnp.where(upd & (blk_min < BIG), blk_arg, best_i)
+        return (j + 1, best_t, best_i, jnp.max(best_t))
+
+    init = (
+        jnp.int32(0),
+        jnp.full((feats.shape[0],), BIG, jnp.float32),
+        jnp.full((feats.shape[0],), -1, jnp.int32),
+        jnp.float32(INF),
+    )
+    _, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+    best_t_ref[0, 0, :] = best_t
+    best_i_ref[0, 0, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool):
+    rp = feats.shape[0]
+    nb, _, five_tb = w.shape
+    tb = five_tb // NSCALARS
+    rt = rp // ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nb), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            # Whole packed scene resident in VMEM; identical index every step
+            # ⇒ fetched once by the pipeline.
+            pl.BlockSpec((nb, K, five_tb), lambda i, order: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    best_t, best_i = pl.pallas_call(
+        functools.partial(_kernel_resident, tb=tb, nb=nb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * K * five_tb * nb,
+            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order, enter[:, None, :], feats, w)
+    return best_t.reshape(-1), best_i.reshape(-1)
+
+
+# Scenes whose packed test matrices fit this budget run the VMEM-resident
+# kernel (~16 MB leaves headroom for the (ray_tile × 5·tb) decision matrix,
+# feats, and double-buffered IO within v5e VMEM).
+RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
 def _launch(order, enter, feats, w, ray_tile: int, interpret: bool):
     rp = feats.shape[0]
@@ -424,6 +531,9 @@ def intersect_pallas(
     # VJP (resolve_hits re-derives differentiably); box arrays feeding the
     # cull mask must not leak tangents into pallas_call either.
     packed = jax.lax.stop_gradient(packed)
+    # Widen tiles until the prefetched (nb, ray_tiles) schedule fits SMEM.
+    while packed.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
+        ray_tile *= 2
     feats = pack_rays(o, d)
     pad = (-r) % ray_tile
     if pad:
@@ -432,7 +542,8 @@ def intersect_pallas(
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     mask, enter = tile_block_mask(o, d, packed, ray_tile)
     order, enter_sorted = plan_block_order(mask, enter)
-    best_t, best_i = _launch(
+    launch = _launch_resident if packed.w.size * 4 <= RESIDENT_BUDGET_BYTES else _launch
+    best_t, best_i = launch(
         order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
     )
     best_t = best_t[:r]

@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
 
 from gpupathtracer_tpu.models.camera import Camera
 from gpupathtracer_tpu.models.scene import TriangleScene
-from gpupathtracer_tpu.ops.intersect import Hit
+from gpupathtracer_tpu.ops.intersect import BIG, Hit
 from gpupathtracer_tpu.render.integrator import make_intersect_fn
 from gpupathtracer_tpu.render.renderer import (
     RenderSettings,
@@ -62,6 +62,61 @@ def shard_scene_rows(scene: TriangleScene, n_scene: int) -> dict:
         f: getattr(scene, f).reshape(n_scene, n // n_scene, *getattr(scene, f).shape[1:])
         for f in _ROW_FIELDS
     }
+
+
+def make_ring_intersect(
+    local_scene: TriangleScene, rows_per_shard: int, n_scene: int, options
+):
+    """Closest hit across 'scene' via ICI ring rotation (SURVEY.md §2.4 SP row).
+
+    The ring-attention analogue: rays stay RESIDENT on their device; the
+    scene row-shards rotate around the 'scene' ring with ``ppermute``, and a
+    running min-(t, global row) folds after each hop. Per step each device
+    moves one scene shard over ICI instead of all-gathering per-ray hit
+    records — for R rays and S shards the wire cost is S·|shard| (scene-
+    sized, ray-independent), vs the all-gather resolve's S·R hit records;
+    the fold is numerically exact, so results are bit-identical to the
+    all-gather strategy and to single-device rendering.
+
+    Tie semantics match the reference's sequential strictly-nearer loop
+    (kernel.cu:110-125): strict t wins; equal t resolves to the lowest
+    global scene row, independent of visit order.
+    """
+    me = jax.lax.axis_index("scene").astype(jnp.int32)
+    rows0 = {f: getattr(local_scene, f) for f in _ROW_FIELDS}
+    fwd_perm = [(i, (i + 1) % n_scene) for i in range(n_scene)]
+
+    def intersect(o, d, _scene) -> Hit:
+        r = o.shape[0]
+
+        def step(carry, k):
+            rows, best_t, best_i = carry
+            holder = jnp.mod(me - k, n_scene)  # whose rows we currently hold
+            scene_k = local_scene.replace(**rows)
+            h = make_intersect_fn(scene_k, options)(o, d, scene_k)
+            tri_g = jnp.where(h.tri >= 0, h.tri + holder * rows_per_shard, -1)
+            take = h.hit & (
+                (h.t < best_t)
+                | ((h.t == best_t) & ((best_i < 0) | (tri_g < best_i)))
+            )
+            best_t = jnp.where(take, h.t, best_t)
+            best_i = jnp.where(take, tri_g, best_i)
+            rows = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, "scene", fwd_perm), rows
+            )
+            return (rows, best_t, best_i), None
+
+        init = (
+            rows0,
+            jnp.full((r,), BIG, jnp.float32),
+            jnp.full((r,), -1, jnp.int32),
+        )
+        (_, best_t, best_i), _ = jax.lax.scan(
+            step, init, jnp.arange(n_scene, dtype=jnp.int32)
+        )
+        return Hit(t=best_t, tri=best_i, hit=best_i >= 0)
+
+    return intersect
 
 
 def make_scene_sharded_intersect(local_scene: TriangleScene, rows_per_shard: int, options):
@@ -90,12 +145,17 @@ def render_frame_distributed(
     settings: RenderSettings,
     mesh: Mesh,
     seed: jnp.ndarray | None = None,
+    scene_strategy: str = "allgather",
 ) -> jnp.ndarray:
     """Distributed render: returns the (H, W, 3) mean-radiance frame.
 
     Pixels shard over 'data'; the intersection sweep shards over 'scene'.
-    Bit-identical to render_frame for any mesh shape (layout-invariant keys,
-    per-pixel accumulation, exact hit resolution).
+    ``scene_strategy`` picks the hit-resolution collective: "allgather"
+    (all-gather per-ray hit records + first-wins argmin) or "ring"
+    (``ppermute`` scene-shard rotation with rays resident — scene-sized wire
+    cost, the ring-attention analogue). Bit-identical to render_frame for
+    any mesh shape and either strategy (layout-invariant keys, per-pixel
+    accumulation, exact hit resolution).
     """
     h, w = settings.height, settings.width
     r = h * w
@@ -122,6 +182,8 @@ def render_frame_distributed(
         )
         if n_scene == 1:
             intersect_fn = make_intersect_fn(local_scene, opts)
+        elif scene_strategy == "ring":
+            intersect_fn = make_ring_intersect(local_scene, rows_per_shard, n_scene, opts)
         else:
             intersect_fn = make_scene_sharded_intersect(local_scene, rows_per_shard, opts)
         return accumulate_radiance(scene_rep, camera, pix, settings, key, intersect_fn)

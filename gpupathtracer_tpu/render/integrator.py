@@ -53,7 +53,7 @@ class IntegratorOptions:
     bounces: int = 4
     background: tuple = (0.0, 0.0, 0.0)  # committed reference: memset black (kernel.cu:340)
     rr_start: int | None = None  # Russian roulette from this bounce; None = off
-    tri_block: int = 512
+    tri_block: int = 128
     ray_chunk: int = 8192
     use_shading_normals: bool = False  # reference shades with geometric normals
     # Intersection backend: "auto" = Pallas MXU kernel on TPU, jnp Plücker
@@ -67,9 +67,13 @@ class IntegratorOptions:
     # is differentiable wrt vertices/normals, whereas naive PT's path
     # contributions are products of constants (see grad/).
     estimator: str = "naive"
-    # Sort rays by (direction octant, Morton) before the Pallas kernel so
-    # secondary-bounce tiles stay sign-coherent and frustum culling fires.
-    # Default off: pays only on large scenes (see RenderSettings.sort_rays).
+    # Sort rays for tile coherence: standalone (octant, Morton) wrapper when
+    # compaction is off, or folded into the compaction permutation
+    # (compact_rays_coherent) when it's on. Buys ~2.3× on FULLY-live
+    # incoherent calls (218→95 ms at 640k rays on v5e) but loses at frame
+    # level on reference-scale scenes (argsort+gathers ≈ 30 ms/call vs
+    # culling already handled by dead-lane compaction) — default off;
+    # enable for large scenes with long-lived incoherent wavefronts.
     sort_rays: bool = False
     # Dead-lane compaction: permute rays alive-first per bounce and park dead
     # lanes outside the scene so their tiles cull every block — wavefront
@@ -110,7 +114,10 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
         base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
             o, d, packed, interpret=interpret
         )
-        if options.sort_rays:
+        if options.sort_rays and not options.compact:
+            # With compaction on, coherence comes from the combined
+            # compact+sort permutation (compact_rays_coherent) instead —
+            # one argsort, not two.
             return pallas_intersect.make_sorted_intersect(base, packed)
         return base
     raise ValueError(f"unknown intersector {options.intersector!r}")
@@ -165,9 +172,10 @@ def trace_paths(
         if not do_compact:
             h = intersect_fn(o, d, scene)
             return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
-        from gpupathtracer_tpu.ops.compaction import compact_rays
+        from gpupathtracer_tpu.ops.compaction import compact_rays, compact_rays_coherent
 
-        o_c, d_c, inv = compact_rays(o, d, mask)
+        compact = compact_rays_coherent if options.sort_rays else compact_rays
+        o_c, d_c, inv = compact(o, d, mask)
         h = intersect_fn(o_c, d_c, scene)
         return Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv] & mask)
 

@@ -34,15 +34,13 @@ class RenderSettings:
     background: tuple = (0.0, 0.0, 0.0)
     aov: str = "radiance"  # "radiance" | "normal" | "normal_unit"
     rr_start: int | None = None
-    tri_block: int = 512
+    tri_block: int = 128
     ray_chunk: int = 8192
     use_shading_normals: bool = False
     intersector: str = "auto"  # see IntegratorOptions.intersector
     estimator: str = "naive"  # "naive" (reference design) | "nee" (light sampling)
-    # Per-call ray sorting for bounce coherence (pallas backend). Off by
-    # default: measured on the ~6k-tri workloads the argsort+gathers cost
-    # (~25ms/call) exceeds the culling gain; enable for large scenes where
-    # per-block culling has more to win.
+    # Per-call ray sorting for bounce coherence (pallas backend only); see
+    # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
     sort_rays: bool = False
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
 
@@ -62,7 +60,6 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
     )
 
 
-@partial(jax.jit, static_argnames=("settings",))
 def render_frame(
     scene: TriangleScene,
     camera: Camera,
@@ -74,13 +71,23 @@ def render_frame(
     Jitted once per (resolution, spp, bounces, aov) combination; scene,
     camera, and the RNG seed are traced arguments so parameter/seed updates
     don't recompile (``seed=None`` uses ``settings.seed``).
+
+    ``intersector="bvh"`` builds the flattened BVH host-side (the scene must
+    be concrete — i.e. call this outside jit) and passes it to the jitted
+    core as a traced pytree, so camera/material/seed updates reuse the
+    compiled executable and the BVH rebuilds only when geometry changes.
     """
+    if settings.intersector == "bvh" and not isinstance(scene.v0, jax.core.Tracer):
+        from gpupathtracer_tpu.accel.bvh import build_bvh
+
+        return _render_frame_bvh(scene, build_bvh(scene), camera, settings, seed)
+    return _render_frame_core(scene, camera, settings, seed)
+
+
+def _frame_body(scene, camera, settings, seed, intersect_fn):
     h, w = settings.height, settings.width
     assert camera.width == w and camera.height == h, "camera/screen size mismatch"
     opts = _integrator_options(settings)
-    from gpupathtracer_tpu.render.integrator import make_intersect_fn
-
-    intersect_fn = make_intersect_fn(scene, opts)  # packs the scene once
 
     if settings.aov in ("normal", "normal_unit"):
         o, d = generate_rays(camera)
@@ -97,6 +104,27 @@ def render_frame(
         scene, camera, pixel_idx, settings, base_key, intersect_fn
     )
     return (film_sum / settings.spp).reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _render_frame_core(
+    scene: TriangleScene,
+    camera: Camera,
+    settings: RenderSettings,
+    seed: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    from gpupathtracer_tpu.render.integrator import make_intersect_fn
+
+    intersect_fn = make_intersect_fn(scene, _integrator_options(settings))
+    return _frame_body(scene, camera, settings, seed, intersect_fn)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _render_frame_bvh(scene, bvh, camera, settings, seed=None):
+    from gpupathtracer_tpu.accel.bvh import intersect_bvh
+
+    intersect_fn = lambda o, d, s: intersect_bvh(o, d, s, bvh)
+    return _frame_body(scene, camera, settings, seed, intersect_fn)
 
 
 def accumulate_radiance(

@@ -122,3 +122,27 @@ def test_bvh_in_integrator():
         scene, o, d, keys, opts, intersect_fn=lambda oo, dd, s: intersect_bvh(oo, dd, s, bvh)
     )
     np.testing.assert_allclose(np.asarray(rad_bvh), np.asarray(rad_ref), atol=1e-6)
+
+
+def test_bvh_via_render_settings():
+    """intersector="bvh" plumbed through RenderSettings: the BVH is built
+    host-side and passed into the jitted core; frame equals the brute path."""
+    from gpupathtracer_tpu.models.camera import Camera
+    from gpupathtracer_tpu.render.renderer import RenderSettings, render_frame
+
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/cube.obj", mat_id=0),
+            plane_spec((0.0, 0.0, -2.5), (0, 0, 0), (8, 8, 8), mat_id=1),
+        ],
+        [
+            {"type": "diffuse", "albedo": (0.4, 0.6, 0.8)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ],
+        pad_to_multiple=8,
+    )
+    cam = Camera.create(position=(0.0, 0.0, 4.0), width=24, height=24)
+    base = dict(width=24, height=24, spp=2, bounces=2, tri_block=8)
+    img_bvh = np.asarray(render_frame(scene, cam, RenderSettings(**base, intersector="bvh")))
+    img_ref = np.asarray(render_frame(scene, cam, RenderSettings(**base, intersector="brute")))
+    np.testing.assert_allclose(img_bvh, img_ref, atol=1e-6)

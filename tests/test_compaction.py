@@ -7,7 +7,11 @@ import numpy as np
 
 from gpupathtracer_tpu.models.camera import Camera
 from gpupathtracer_tpu.models.scene import build_scene, mesh_spec, plane_spec
-from gpupathtracer_tpu.ops.compaction import compact_rays, partition_alive
+from gpupathtracer_tpu.ops.compaction import (
+    compact_rays,
+    compact_rays_coherent,
+    partition_alive,
+)
 from gpupathtracer_tpu.render.renderer import RenderSettings, render_frame
 
 
@@ -35,6 +39,31 @@ def test_compact_rays_roundtrip():
         np.asarray(o_back)[np.asarray(alive)], np.asarray(o)[np.asarray(alive)]
     )
     assert (np.asarray(o_c)[np.asarray(alive[np.asarray(partition_alive(alive)[0])]) == False] > 1e6).all()
+
+
+def test_compact_rays_coherent_roundtrip():
+    """Coherent compaction: live lanes restore exactly, dead lanes park,
+    live lanes are grouped dead-last and by direction octant."""
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    alive = jnp.asarray(rng.random(64) > 0.4)
+    o_c, d_c, inv = compact_rays_coherent(o, d, alive)
+    np.testing.assert_array_equal(
+        np.asarray(o_c[inv])[np.asarray(alive)], np.asarray(o)[np.asarray(alive)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_c[inv])[np.asarray(alive)], np.asarray(d)[np.asarray(alive)]
+    )
+    n_alive = int(np.asarray(alive).sum())
+    # Live lanes occupy the prefix (dead keys sort last)...
+    assert (np.asarray(o_c)[:n_alive] < 1e6).all()
+    assert (np.asarray(o_c)[n_alive:] > 1e6).all()
+    # ...and within the live prefix, direction octants are contiguous.
+    sgn = np.sign(np.asarray(d_c)[:n_alive]) < 0
+    oct_ids = sgn[:, 0] * 1 + sgn[:, 1] * 2 + sgn[:, 2] * 4
+    changes = int(np.sum(oct_ids[1:] != oct_ids[:-1]))
+    assert changes <= len(np.unique(oct_ids)) - 1 + 0  # each octant appears once
 
 
 def test_render_invariant_under_compaction():

@@ -46,6 +46,19 @@ def test_distributed_bitmatches_single(n_data, n_scene):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("n_data,n_scene", [(4, 2), (2, 4), (1, 8)])
+def test_ring_rotation_bitmatches_single(n_data, n_scene):
+    """The ppermute ring strategy (scene shards rotate, rays resident) is
+    bit-identical to single-device and to the all-gather strategy."""
+    scene = _scene(pad=128 * n_scene)
+    mesh = make_mesh(n_data=n_data, n_scene=n_scene, devices=jax.devices()[: n_data * n_scene])
+    ref = np.asarray(render_frame(scene, CAMERA, SETTINGS))
+    out = np.asarray(
+        render_frame_distributed(scene, CAMERA, SETTINGS, mesh, scene_strategy="ring")
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_distributed_nee_matches():
     scene = _scene(pad=256)
     mesh = make_mesh(n_data=4, n_scene=2, devices=jax.devices()[:8])
