@@ -435,6 +435,120 @@ def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool):
 RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
 
 
+def _kernel_occlusion(
+    order_ref, enter_ref, feats_ref, maxt_ref, w_ref, occ_ref, *, tb: int, nb: int
+):
+    """Any-hit (shadow/occlusion) kernel, VMEM-resident.
+
+    A ray is occluded iff ANY accepted pair has t ∈ (EPSILON, max_t) — no
+    min/argmin bookkeeping, and the block loop stops as soon as every ray in
+    the tile is either occluded or has no remaining block nearer than its
+    cutoff (enter distances ascend). Exactly equivalent to thresholding the
+    closest hit: min accepted t < max_t ⇔ ∃ accepted t < max_t.
+    """
+    i = pl.program_id(0)
+    feats = feats_ref[:]
+    maxt = maxt_ref[0, 0, :]  # (TR,) per-ray cutoff; 0 ⇒ lane never needs testing
+
+    def cond(state):
+        j, occ = state
+        bound = jnp.max(jnp.where(occ, -INF, maxt))
+        return (j < nb) & (enter_ref[0, 0, j] < bound)
+
+    def body(state):
+        j, occ = state
+        blk = order_ref[j, i]
+        s = jnp.dot(
+            feats,
+            w_ref[blk],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s0 = s[:, 0 * tb : 1 * tb]
+        s1 = s[:, 1 * tb : 2 * tb]
+        s2 = s[:, 2 * tb : 3 * tb]
+        dd = s[:, 3 * tb : 4 * tb]
+        num = s[:, 4 * tb : 5 * tb]
+        ok = (dd <= -EPSILON) & (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+        t = num / dd
+        blocked = ok & (t > EPSILON) & (t < maxt[:, None])
+        return (j + 1, occ | jnp.any(blocked, axis=-1))
+
+    init = (jnp.int32(0), jnp.zeros((feats.shape[0],), jnp.bool_))
+    _, occ = jax.lax.while_loop(cond, body, init)
+    occ_ref[0, 0, :] = occ.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bool):
+    rp = feats.shape[0]
+    nb, _, five_tb = w.shape
+    tb = five_tb // NSCALARS
+    rt = rp // ray_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nb), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, K, five_tb), lambda i, order: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    occ = pl.pallas_call(
+        functools.partial(_kernel_occlusion, tb=tb, nb=nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * K * five_tb * nb,
+            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order, enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile), w)
+    return occ.reshape(-1)
+
+
+def intersect_pallas_occluded(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    max_t: jnp.ndarray,
+    packed: PackedScene,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Boolean occlusion query: ∃ accepted hit with t ∈ (EPSILON, max_t)?
+
+    The NEE shadow-ray fast path (resident scenes only — the caller falls
+    back to closest-hit thresholding otherwise). ``max_t = 0`` marks lanes
+    that need no testing (dead/parked rays).
+    """
+    r = o.shape[0]
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    max_t = jax.lax.stop_gradient(max_t)
+    packed = jax.lax.stop_gradient(packed)
+    while packed.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
+        ray_tile *= 2
+    feats = pack_rays(o, d)
+    pad = (-r) % ray_tile
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        max_t = jnp.pad(max_t, (0, pad))
+    mask, enter = tile_block_mask(o, d, packed, ray_tile)
+    order, enter_sorted = plan_block_order(mask, enter)
+    occ = _launch_occlusion(
+        order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+    )
+    return occ[:r] > 0
+
+
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
 def _launch(order, enter, feats, w, ray_tile: int, interpret: bool):
     rp = feats.shape[0]

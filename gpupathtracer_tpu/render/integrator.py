@@ -123,6 +123,38 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
     raise ValueError(f"unknown intersector {options.intersector!r}")
 
 
+def make_occlusion_fn(
+    scene: TriangleScene, options: IntegratorOptions, intersect_fn, allow_kernel: bool = True
+):
+    """Build ``occluded(o, d, max_t) -> bool``: ∃ accepted hit with t < max_t.
+
+    VMEM-resident Pallas scenes get the dedicated any-hit kernel (first-hit
+    exit, no min/argmin bookkeeping); every other backend thresholds the
+    closest hit — the SAME predicate (min accepted t < max_t ⇔ ∃ accepted
+    t < max_t), so images are backend-independent. ``allow_kernel=False``
+    forces the threshold path (used with caller-supplied intersectors, e.g.
+    the scene-sharded distributed sweeps, where the full-scene kernel would
+    defeat the sharding).
+    """
+    import jax as _jax
+
+    if allow_kernel and resolved_intersector(options) == "pallas":
+        from gpupathtracer_tpu.ops import pallas_intersect
+
+        packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+        if packed.w.size * 4 <= pallas_intersect.RESIDENT_BUDGET_BYTES:
+            interpret = _jax.default_backend() != "tpu"
+            return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
+                o, d, mt, packed, interpret=interpret
+            )
+
+    def fallback(o, d, mt):
+        h = intersect_fn(o, d, scene)
+        return h.hit & (h.t < mt)
+
+    return fallback
+
+
 def _gather_materials(scene: TriangleScene, mat_id):
     m = scene.materials
     return {
@@ -149,11 +181,17 @@ def trace_paths(
     ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
     the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
     """
+    custom_intersect = intersect_fn is not None
     if intersect_fn is None:
         intersect_fn = make_intersect_fn(scene, options)
     r = origins.shape[0]
     background = jnp.asarray(options.background, jnp.float32)
     nee = options.estimator == "nee"
+    occlude_fn = (
+        make_occlusion_fn(scene, options, intersect_fn, allow_kernel=not custom_intersect)
+        if nee
+        else None
+    )
 
     if nee:
         # Area-weighted light table over emissive triangles (computed once,
@@ -178,6 +216,24 @@ def trace_paths(
         o_c, d_c, inv = compact(o, d, mask)
         h = intersect_fn(o_c, d_c, scene)
         return Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv] & mask)
+
+    def masked_occluded(o, d, max_t, mask):
+        """Shadow/visibility query: any accepted hit with t < max_t, for
+        lanes where mask holds (others report unoccluded)."""
+        mt = jnp.where(mask, max_t, 0.0)
+        if occlude_fn is None:
+            h = masked_intersect(o, d, mask)
+            return h.hit & (h.t < max_t)
+        if not do_compact:
+            return occlude_fn(o, d, mt) & mask
+        from gpupathtracer_tpu.ops.compaction import DEAD_DIR, DEAD_ORIGIN, partition_alive
+
+        perm, inv = partition_alive(mask)
+        alive_c = mask[perm]
+        o_c = jnp.where(alive_c[:, None], o[perm], jnp.asarray(DEAD_ORIGIN, o.dtype))
+        d_c = jnp.where(alive_c[:, None], d[perm], jnp.asarray(DEAD_DIR, d.dtype))
+        mt_c = jnp.where(alive_c, mt[perm], 0.0)
+        return occlude_fn(o_c, d_c, mt_c)[inv] & mask
 
     def bounce(state, bounce_idx):
         o, d, throughput, radiance, alive, specular_chain = state
@@ -240,12 +296,18 @@ def trace_paths(
             n_y = scene.gn[pick]
             cos_y = jnp.abs(jnp.sum(n_y * wi, axis=-1))  # two-sided lights
             shadow_o = x + RAY_OFFSET * n_shade
-            shadow_hit: Hit = masked_intersect(
-                jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(wi), found & is_diffuse
+            # Visible iff nothing lies strictly before the sampled light
+            # point (relative ε keeps the light triangle itself out of its
+            # own shadow test). Backend-independent: every backend evaluates
+            # the same "∃ accepted t < cutoff" predicate; the Pallas any-hit
+            # kernel (make_occlusion_fn) short-circuits it on TPU.
+            cutoff = jax.lax.stop_gradient(dist) * (1.0 - 1e-3)
+            lit = ~masked_occluded(
+                jax.lax.stop_gradient(shadow_o),
+                jax.lax.stop_gradient(wi),
+                cutoff,
+                found & is_diffuse,
             )
-            # Visible iff the nearest hit IS the sampled light triangle
-            # (robust to the light itself occluding, two-sided planes, etc.)
-            lit = shadow_hit.hit & (shadow_hit.tri == pick)
             light_mat = scene.mat_id[pick]
             le_y = (
                 scene.materials.emissive_color[light_mat]
