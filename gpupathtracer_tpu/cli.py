@@ -130,7 +130,16 @@ def cmd_view(args) -> int:
 def cmd_invert(args) -> int:
     from gpupathtracer_tpu.grad.inverse import run_inverse_demo
 
-    result = run_inverse_demo(steps=args.steps, out_dir=args.out)
+    result = run_inverse_demo(
+        steps=args.steps,
+        out_dir=args.out,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        width=args.size,
+        height=args.size,
+        spp=args.spp,
+        subdivisions=args.subdivisions,
+    )
     print(json.dumps(result))
     return 0
 
@@ -171,6 +180,14 @@ def main(argv=None) -> int:
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
     pi.add_argument("--steps", type=int, default=100)
     pi.add_argument("--out", default=None)
+    pi.add_argument(
+        "--checkpoint", default=None,
+        help="train-state checkpoint path (.pkl); resumes if present",
+    )
+    pi.add_argument("--checkpoint-every", type=int, default=1)
+    pi.add_argument("--size", type=int, default=96, help="square image size")
+    pi.add_argument("--spp", type=int, default=8)
+    pi.add_argument("--subdivisions", type=int, default=2)
     pi.set_defaults(fn=cmd_invert)
 
     p.add_argument(

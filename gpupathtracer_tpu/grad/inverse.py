@@ -72,9 +72,32 @@ def _demo_setup(width=96, height=96, spp=8, bounces=2, subdivisions=2):
     return settings, camera, make_scene, sphere_mesh
 
 
-def run_inverse_demo(steps: int = 100, out_dir: str | None = None, lr: float = 2e-2):
-    """Optimize albedo + vertex offsets to match the target image."""
-    settings, camera, make_scene, sphere_mesh = _demo_setup()
+def run_inverse_demo(
+    steps: int = 100,
+    out_dir: str | None = None,
+    lr: float = 2e-2,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 1,
+    width: int = 96,
+    height: int = 96,
+    spp: int = 8,
+    bounces: int = 2,
+    subdivisions: int = 2,
+):
+    """Optimize albedo + vertex offsets to match the target image.
+
+    With ``checkpoint_path``, (params, optimizer state, step) are saved
+    atomically every ``checkpoint_every`` steps (utils/checkpoint.py) and a
+    rerun resumes at the first missing step. Per-step RNG seeds are the
+    global step index, so an interrupted-and-resumed optimization is
+    bit-identical to an uninterrupted one (mirrors the film-checkpoint
+    guarantee; tested in tests/test_inverse.py).
+    """
+    from gpupathtracer_tpu.utils import checkpoint as ckpt
+
+    settings, camera, make_scene, sphere_mesh = _demo_setup(
+        width=width, height=height, spp=spp, bounces=bounces, subdivisions=subdivisions
+    )
     t_v = sphere_mesh.vertices.shape[0]
 
     true_albedo = jnp.asarray([0.2, 0.55, 0.85])
@@ -91,6 +114,14 @@ def run_inverse_demo(steps: int = 100, out_dir: str | None = None, lr: float = 2
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    start_step = 0
+    if checkpoint_path:
+        loaded = ckpt.load_train_state(checkpoint_path)
+        if loaded is not None:
+            params = jax.tree_util.tree_map(jnp.asarray, loaded["params"])
+            opt_state = jax.tree_util.tree_map(jnp.asarray, loaded["opt_state"])
+            start_step = int(loaded["step"])
+
     def loss_fn(p, seed):
         albedo = jax.nn.sigmoid(p["albedo_logit"])
         scene = make_scene(albedo, p["offsets"])
@@ -104,10 +135,14 @@ def run_inverse_demo(steps: int = 100, out_dir: str | None = None, lr: float = 2
         return optax.apply_updates(p, updates), s, loss
 
     history = []
-    for i in range(steps):
+    for i in range(start_step, steps):
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
         if i % 10 == 0 or i == steps - 1:
             history.append((i, float(loss)))
+        if checkpoint_path and ((i + 1) % checkpoint_every == 0 or i == steps - 1):
+            ckpt.save_train_state(checkpoint_path, params, opt_state, i + 1)
+    if not history:  # fully resumed past the end — report the current loss
+        history.append((steps - 1, float(loss_fn(params, jnp.uint32(max(steps - 1, 0))))))
 
     albedo = jax.nn.sigmoid(params["albedo_logit"])
     albedo_err = float(jnp.max(jnp.abs(albedo - true_albedo)))

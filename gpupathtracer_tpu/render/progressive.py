@@ -10,15 +10,15 @@ at the first missing sample and produces a bit-identical final image
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gpupathtracer_tpu.render.film import Film
 from gpupathtracer_tpu.render.renderer import RenderSettings, render_samples
 from gpupathtracer_tpu.utils import checkpoint as ckpt
 from gpupathtracer_tpu.utils.metrics import log_event
+from gpupathtracer_tpu.utils.profiling import Timer
 
 
 def render_progressive(
@@ -29,40 +29,46 @@ def render_progressive(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 1,
     metrics_path: str | None = None,
+    on_chunk=None,
 ):
-    """Render ``settings.spp`` samples in chunks; returns mean image (H,W,3)."""
+    """Render ``settings.spp`` samples in chunks; returns mean image (H,W,3).
+
+    ``on_chunk(film: Film) -> None`` is called after every chunk with the
+    running accumulator — the hook the live progressive preview
+    (cli.py::cmd_view --live) refreshes from.
+    """
     h, w = settings.height, settings.width
-    film = np.zeros((h, w, 3), np.float32)
-    done = 0
+    film = Film(
+        radiance_sum=np.zeros((h, w, 3), np.float32), sample_count=np.float32(0.0)
+    )
 
     if checkpoint_path:
         loaded = ckpt.load_film(checkpoint_path, settings)
         if loaded is not None:
-            film, done = loaded
-            film = np.array(film, np.float32)
+            sum_, done_ = loaded
+            film = Film(
+                radiance_sum=np.array(sum_, np.float32), sample_count=np.float32(done_)
+            )
 
     chunk_idx = 0
-    while done < settings.spp:
+    while int(film.sample_count) < settings.spp:
+        done = int(film.sample_count)
         n = min(chunk_spp, settings.spp - done)
-        t0 = time.perf_counter()
+        timer = Timer()
         chunk = render_samples(scene, camera, settings, jnp.uint32(done), n)
         chunk = np.asarray(jax.device_get(chunk))
-        dt = time.perf_counter() - t0
-        film = film + chunk
+        stats = timer.stop(rays=w * h * n * settings.bounces)
+        film = film.add_samples(chunk, n)
         done += n
         chunk_idx += 1
         if metrics_path:
             log_event(
                 metrics_path,
-                {
-                    "event": "chunk",
-                    "samples_done": done,
-                    "chunk_spp": n,
-                    "seconds": round(dt, 4),
-                    "rays_per_sec": round(w * h * n * settings.bounces / max(dt, 1e-9), 1),
-                },
+                {"event": "chunk", "samples_done": done, "chunk_spp": n, **stats},
             )
         if checkpoint_path and (chunk_idx % checkpoint_every == 0 or done >= settings.spp):
-            ckpt.save_film(checkpoint_path, film, done, settings)
+            ckpt.save_film(checkpoint_path, film.radiance_sum, done, settings)
+        if on_chunk is not None:
+            on_chunk(film)
 
-    return film / max(done, 1)
+    return np.asarray(film.to_image())

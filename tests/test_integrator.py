@@ -170,6 +170,34 @@ def test_render_config1_occlusion():
     np.testing.assert_allclose(flat[emit_mask], 2.0, atol=1e-5)
 
 
+def test_russian_roulette_unbiased():
+    """RR (rr_start) must not bias the estimator: mean radiance over many
+    paths with roulette on equals the no-roulette mean within MC error.
+    Scene: two facing diffuse planes inside a two-sided emitter dome, so
+    paths genuinely survive several bounces and RR has victims to kill."""
+    specs = [
+        plane_spec((0, 0, -1.5), (0, 0, 0), (6, 6, 6), mat_id=0),
+        plane_spec((0, 0, 1.5), (0, 180.0, 0), (6, 6, 6), mat_id=0),
+        mesh_spec(icosphere(1), scale=(25.0, 25.0, 25.0), mat_id=1, two_sided=True),
+    ]
+    scene = build_scene(
+        specs, [{"type": "diffuse", "albedo": (0.7, 0.5, 0.3)}, EMITTER], pad_to_multiple=8
+    )
+    r = 4096
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0]]), (r, 1))
+    # Aim at the -z plane from between the two planes, slightly scattered.
+    ang = jnp.linspace(-0.3, 0.3, r)
+    d = jnp.stack([jnp.sin(ang), jnp.zeros(r), -jnp.cos(ang)], axis=-1)
+
+    out_no_rr = _trace(scene, o, d, bounces=6, seed=5)
+    out_rr = _trace(scene, o, d, bounces=6, seed=5, rr_start=2)
+
+    assert np.isfinite(out_rr).all()
+    # RR must actually fire (identical outputs would mean it's inert).
+    assert np.abs(out_rr - out_no_rr).max() > 1e-3
+    np.testing.assert_allclose(out_rr.mean(axis=0), out_no_rr.mean(axis=0), rtol=0.05)
+
+
 def test_normal_aov_parity_magnitudes():
     """Reference normal AOV uses the unnormalized inverse-transpose normal:
     a 5x-scaled plane's |n| is 1/5 (SURVEY.md §2.3.1)."""
