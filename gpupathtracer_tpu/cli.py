@@ -154,7 +154,7 @@ def main(argv=None) -> int:
     pr.add_argument("--spp", type=int, default=None)
     pr.add_argument("--aov", default=None, choices=["radiance", "normal", "normal_unit"])
     pr.add_argument("--gamma", type=float, default=None)
-    pr.add_argument("--estimator", default=None, choices=["naive", "nee"])
+    pr.add_argument("--estimator", default=None, choices=["naive", "nee", "mis"])
     pr.add_argument("--intersector", default=None, choices=["auto", "pallas", "plucker", "brute"])
     pr.add_argument("--checkpoint", default=None, help="film checkpoint path (.npz); resumes if present")
     pr.add_argument("--chunk-spp", type=int, default=None, help="progressive chunk size")

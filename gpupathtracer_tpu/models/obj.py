@@ -40,6 +40,60 @@ class MeshData:
         return self.vertices.shape[0]
 
 
+def subdivide_mesh(mesh: MeshData, levels: int = 1) -> MeshData:
+    """Midpoint 1:4 subdivision of a triangle soup (×4 triangles per level).
+
+    Purely per-triangle (no shared-vertex topology needed — soups stay
+    soups): each triangle (a, b, c) splits at its edge midpoints into
+    (a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca). Positions and UVs
+    interpolate linearly; shading normals interpolate and renormalize.
+    The surface is unchanged, so a subdivided scene renders identically up
+    to fp — the large-scene scaling workloads (BASELINE.md) are built by
+    subdividing the reference assets.
+    """
+    v, n, uv = mesh.vertices, mesh.normals, mesh.uvs
+    for _ in range(levels):
+        a, b, c = v[:, 0], v[:, 1], v[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        v = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([ab, b, bc], axis=1),
+                np.stack([ca, bc, c], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ]
+        )
+        na, nb_, nc = n[:, 0], n[:, 1], n[:, 2]
+
+        def mid_n(x, y):
+            m = x + y
+            norm = np.linalg.norm(m, axis=-1, keepdims=True)
+            return np.where(norm > 1e-12, m / np.maximum(norm, 1e-12), x)
+
+        nab, nbc, nca = mid_n(na, nb_), mid_n(nb_, nc), mid_n(nc, na)
+        n = np.concatenate(
+            [
+                np.stack([na, nab, nca], axis=1),
+                np.stack([nab, nb_, nbc], axis=1),
+                np.stack([nca, nbc, nc], axis=1),
+                np.stack([nab, nbc, nca], axis=1),
+            ]
+        )
+        ta, tb, tc = uv[:, 0], uv[:, 1], uv[:, 2]
+        tab, tbc, tca = (ta + tb) / 2, (tb + tc) / 2, (tc + ta) / 2
+        uv = np.concatenate(
+            [
+                np.stack([ta, tab, tca], axis=1),
+                np.stack([tab, tb, tbc], axis=1),
+                np.stack([tca, tbc, tc], axis=1),
+                np.stack([tab, tbc, tca], axis=1),
+            ]
+        )
+    return MeshData(
+        vertices=v.astype(np.float32), normals=n.astype(np.float32), uvs=uv.astype(np.float32)
+    )
+
+
 def _resolve_index(idx: int, count: int) -> int:
     """OBJ 1-based indexing; negative = relative to end of current list."""
     return idx - 1 if idx > 0 else count + idx

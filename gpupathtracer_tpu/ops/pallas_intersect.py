@@ -3,11 +3,15 @@
 The hot loop of the whole framework — the reference's O(pixels × triangles)
 megakernel inner loop (``kernel.cu:133-156``) mapped onto TPU hardware:
 
-- grid = (ray_tiles, triangle_blocks); each step computes a (TR, 5·TB)
+- grid over ray tiles; each visited triangle block computes a (TR, 5·TB)
   decision matrix with ONE MXU matmul (see ops/plucker.py for the math);
 - the epilogue (cull sign tests, t, masked min/argmin) runs on the VPU
   entirely in VMEM — the (rays × triangles) intermediates never touch HBM,
   which the pure-jnp formulation cannot avoid;
+- scenes under RESIDENT_BUDGET_BYTES keep the whole packed matrix in VMEM
+  (_kernel_resident); larger scenes stream block CLUSTERS HBM→VMEM with an
+  in-kernel double-buffered DMA following the same front-to-back schedule
+  (_kernel_streamed) — visited-cluster-proportional bandwidth, no cap;
 - **uniformly one-sided**: two-sided primitives are pre-duplicated with
   flipped winding at pack time (``pack_triangles_dup``), so the epilogue is
   5 compares + a mul-by-reciprocal per pair — no per-triangle mask loads;
@@ -285,54 +289,6 @@ def plan_block_order(mask: jnp.ndarray, enter: jnp.ndarray):
     return order.T, enter_sorted
 
 
-def _kernel(order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        best_t_ref[0, 0, :] = jnp.full((best_t_ref.shape[2],), BIG, jnp.float32)
-        best_i_ref[0, 0, :] = jnp.full((best_i_ref.shape[2],), -1, jnp.int32)
-
-    blk = order_ref[j, i]  # (nb, rt) layout — see plan_block_order
-    # Early exit: blocks arrive front-to-back per tile; once every ray in the
-    # tile has a hit nearer than this block's conservative entry distance,
-    # no remaining block can improve anything.
-    worst = jnp.max(best_t_ref[0, 0, :])
-
-    @pl.when((blk < nb) & (enter_ref[0, 0, j] < worst))
-    def _():
-        # HIGHEST: true f32 MXU passes. Single-pass bf16 flips ~1% of hit
-        # decisions vs the f32 oracle — unacceptable for geometry.
-        s = jnp.dot(
-            feats_ref[:],
-            w_ref[0],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TR, 5*tb)
-        s0 = s[:, 0 * tb : 1 * tb]
-        s1 = s[:, 1 * tb : 2 * tb]
-        s2 = s[:, 2 * tb : 3 * tb]
-        dd = s[:, 3 * tb : 4 * tb]
-        num = s[:, 4 * tb : 5 * tb]
-
-        # One-sided epilogue: det = −dd ≥ eps, sides share dd's (negative)
-        # sign inclusively; t via reciprocal (dd bounded away from 0 by eps).
-        ok = (dd <= -EPSILON) & (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
-        t = num / dd
-        ok &= t > EPSILON  # kernel.cu:97
-        t = jnp.where(ok, t, BIG)
-
-        blk_min = jnp.min(t, axis=-1)
-        # First-wins argmin within the block; offset by the *scheduled* block.
-        blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
-
-        prev_t = best_t_ref[0, 0, :]
-        upd = blk_min < prev_t  # strict <: earlier blocks win ties (kernel.cu:115)
-        best_t_ref[0, 0, :] = jnp.where(upd, blk_min, prev_t)
-        best_i_ref[0, 0, :] = jnp.where(upd & (blk_min < BIG), blk_arg, best_i_ref[0, 0, :])
-
-
 def _kernel_resident(
     order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int
 ):
@@ -433,6 +389,200 @@ def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool):
 # kernel (~16 MB leaves headroom for the (ray_tile × 5·tb) decision matrix,
 # feats, and double-buffered IO within v5e VMEM).
 RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
+
+# Streamed-kernel cluster sizing: blocks are grouped into clusters of
+# consecutive Morton-ordered blocks; the schedule (SMEM) and the HBM→VMEM
+# DMA both work at cluster granularity. A cluster (×2 double buffers) must
+# fit comfortably in VMEM next to the decision matrix.
+CLUSTER_BYTES_MAX = 4 * 1024 * 1024
+
+
+def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
+    """Pick (ray_tile, bpc) for the streamed kernel: the finest ray tile
+    (better frustum culling) whose cluster schedule fits the SMEM budget
+    with clusters no larger than CLUSTER_BYTES_MAX (VMEM scratch ×2)."""
+    cdiv = lambda a, b: -(-a // b)
+    block_bytes = K * NSCALARS * tri_block * 4
+    bpc_max = max(1, CLUSTER_BYTES_MAX // block_bytes)
+    while True:
+        rt = cdiv(r, ray_tile)
+        nc_max = max(1, SCHEDULE_SMEM_BUDGET // (4 * rt))
+        bpc = cdiv(nb, nc_max)
+        if bpc <= bpc_max:
+            return ray_tile, bpc
+        ray_tile *= 2
+
+
+def _kernel_streamed(
+    order_ref, enter_ref, feats_ref, w_hbm_ref, best_t_ref, best_i_ref,
+    scratch_ref, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
+):
+    """Streaming variant for scenes beyond the VMEM budget: grid over ray
+    tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
+    an explicitly double-buffered in-kernel DMA, following the per-tile
+    front-to-back cluster schedule with true early exit.
+
+    Unlike a dense (ray_tiles, blocks) grid launch, HBM traffic is proportional to
+    the number of VISITED clusters (culled + early-exited clusters are never
+    fetched), so large scenes pay sublinear bandwidth for coherent tiles —
+    the reference's O(pixels × tris) scaling (kernel.cu:133-156) broken at
+    the memory system too, not just in FLOPs.
+    """
+    i = pl.program_id(0)
+    feats = feats_ref[:]
+
+    def get_dma(slot, j):
+        c = order_ref[j, i]  # (nc, rt) layout
+        return pltpu.make_async_copy(
+            w_hbm_ref.at[pl.ds(c * bpc, bpc)], scratch_ref.at[slot], sem_ref.at[slot]
+        )
+
+    first_scheduled = enter_ref[0, 0, 0] < INF
+
+    @pl.when(first_scheduled)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        j, _bt, _bi, worst = state
+        return (j < nc) & (enter_ref[0, 0, j] < worst)
+
+    def body(state):
+        j, best_t, best_i, _worst = state
+        slot = jax.lax.rem(j, 2)
+
+        # Prefetch the next scheduled cluster while this one is in flight.
+        # Started iff scheduled (enter < inf) — NOT gated on the running
+        # worst, so the in-flight set is deterministic and the post-loop
+        # drain below can wait out exactly one dangling DMA.
+        @pl.when((j + 1 < nc) & (enter_ref[0, 0, j + 1] < INF))
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        c = order_ref[j, i]
+
+        def blk_body(b, carry):
+            best_t, best_i = carry
+            s = jnp.dot(
+                feats,
+                scratch_ref[slot, b],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TR, 5*tb)
+            s0 = s[:, 0 * tb : 1 * tb]
+            s1 = s[:, 1 * tb : 2 * tb]
+            s2 = s[:, 2 * tb : 3 * tb]
+            dd = s[:, 3 * tb : 4 * tb]
+            num = s[:, 4 * tb : 5 * tb]
+            ok = (dd <= -EPSILON) & (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+            t = num / dd
+            ok &= t > EPSILON  # kernel.cu:97
+            t = jnp.where(ok, t, BIG)
+            blk_min = jnp.min(t, axis=-1)
+            blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + (c * bpc + b) * tb
+            upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
+            best_t = jnp.where(upd, blk_min, best_t)
+            best_i = jnp.where(upd & (blk_min < BIG), blk_arg, best_i)
+            return (best_t, best_i)
+
+        best_t, best_i = jax.lax.fori_loop(0, bpc, blk_body, (best_t, best_i))
+        return (j + 1, best_t, best_i, jnp.max(best_t))
+
+    init = (
+        jnp.int32(0),
+        jnp.full((feats.shape[0],), BIG, jnp.float32),
+        jnp.full((feats.shape[0],), -1, jnp.int32),
+        jnp.float32(INF),
+    )
+    j_end, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain: on early exit the body may have started the DMA for cluster
+    # j_end without waiting it (warm-up covers j_end = 0).
+    @pl.when((j_end < nc) & (enter_ref[0, 0, j_end] < INF))
+    def _():
+        get_dma(jax.lax.rem(j_end, 2), j_end).wait()
+
+    best_t_ref[0, 0, :] = best_t
+    best_i_ref[0, 0, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret"))
+def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret: bool):
+    rp = feats.shape[0]
+    nb, _, five_tb = w.shape
+    tb = five_tb // NSCALARS
+    rt = rp // ray_tile
+    nc = nb // bpc  # caller pads w to a bpc multiple
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            # Whole packed scene stays in HBM; clusters are DMA'd manually.
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bpc, K, five_tb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    best_t, best_i = pl.pallas_call(
+        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * K * five_tb * nb,
+            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(order, enter[:, None, :], feats, w)
+    return best_t.reshape(-1), best_i.reshape(-1)
+
+
+def _cluster_boxes(packed: PackedScene, bpc: int):
+    """Union block AABBs into cluster AABBs (consecutive Morton-ordered
+    blocks ⇒ clusters stay spatially tight); empty blocks don't inflate."""
+    nb = packed.num_blocks
+    nc = nb // bpc
+    lo = packed.box_lo.reshape(nc, bpc, 3)
+    hi = packed.box_hi.reshape(nc, bpc, 3)
+    live = packed.block_live.reshape(nc, bpc) > 0
+    lo = jnp.min(jnp.where(live[..., None], lo, INF), axis=1)
+    hi = jnp.max(jnp.where(live[..., None], hi, -INF), axis=1)
+    any_live = live.any(axis=1)
+    lo = jnp.where(any_live[:, None], lo, 0.0)
+    hi = jnp.where(any_live[:, None], hi, -1.0)
+    return PackedScene(
+        w=packed.w, tri_map=packed.tri_map, box_lo=lo, box_hi=hi,
+        block_live=any_live.astype(jnp.int32), tri_block=packed.tri_block,
+    )
+
+
+def _pad_blocks(packed: PackedScene, bpc: int) -> PackedScene:
+    """Pad the packed block axis to a multiple of bpc with dead blocks."""
+    nb = packed.num_blocks
+    pad = (-nb) % bpc
+    if pad == 0:
+        return packed
+    w = jnp.concatenate([packed.w, jnp.zeros((pad,) + packed.w.shape[1:], packed.w.dtype)])
+    lo = jnp.concatenate([packed.box_lo, jnp.zeros((pad, 3), jnp.float32)])
+    hi = jnp.concatenate([packed.box_hi, jnp.full((pad, 3), -1.0, jnp.float32)])
+    live = jnp.concatenate([packed.block_live, jnp.zeros((pad,), jnp.int32)])
+    return PackedScene(
+        w=w, tri_map=packed.tri_map, box_lo=lo, box_hi=hi,
+        block_live=live, tri_block=packed.tri_block,
+    )
 
 
 def _kernel_occlusion(
@@ -549,50 +699,6 @@ def intersect_pallas_occluded(
     return occ[:r] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
-def _launch(order, enter, feats, w, ray_tile: int, interpret: bool):
-    rp = feats.shape[0]
-    nb, _, five_tb = w.shape
-    tb = five_tb // NSCALARS
-    rt = rp // ray_tile
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        # `order` is scalar-prefetched: the w BlockSpec's index_map reads it
-        # to fetch tile-specific blocks in front-to-back order.
-        num_scalar_prefetch=1,
-        grid=(rt, nb),
-        in_specs=[
-            # Current tile's sorted entry distances (early-exit keys).
-            pl.BlockSpec((1, 1, nb), lambda i, j, order: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, j, order: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, K, five_tb),
-                lambda i, j, order: (jnp.minimum(order[j, i], nb - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, ray_tile), lambda i, j, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, j, order: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-    )
-    best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel, tb=tb, nb=nb),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
-            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rp * K * five_tb * nb,
-            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(order, enter[:, None, :], feats, w)
-    return best_t.reshape(-1), best_i.reshape(-1)
-
-
 def make_sorted_intersect(intersect_fn, packed: PackedScene):
     """Wrap a closest-hit fn with per-call ray sorting for tile coherence.
 
@@ -645,21 +751,37 @@ def intersect_pallas(
     # VJP (resolve_hits re-derives differentiably); box arrays feeding the
     # cull mask must not leak tangents into pallas_call either.
     packed = jax.lax.stop_gradient(packed)
-    # Widen tiles until the prefetched (nb, ray_tiles) schedule fits SMEM.
-    while packed.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
-        ray_tile *= 2
+    resident = packed.w.size * 4 <= RESIDENT_BUDGET_BYTES
+
+    bpc = 1
+    sched = packed
+    if not resident:
+        # Streamed path: schedule at CLUSTER granularity so huge scenes keep
+        # fine ray tiles (better culling) without blowing the SMEM schedule;
+        # a cluster (×2 buffers) must also fit the DMA scratch budget.
+        ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
+        sched = _cluster_boxes(_pad_blocks(packed, bpc), bpc)
+    else:
+        # Widen tiles until the (blocks, ray_tiles) schedule fits SMEM.
+        while sched.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
+            ray_tile *= 2
     feats = pack_rays(o, d)
     pad = (-r) % ray_tile
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    mask, enter = tile_block_mask(o, d, packed, ray_tile)
+    mask, enter = tile_block_mask(o, d, sched, ray_tile)
     order, enter_sorted = plan_block_order(mask, enter)
-    launch = _launch_resident if packed.w.size * 4 <= RESIDENT_BUDGET_BYTES else _launch
-    best_t, best_i = launch(
-        order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
-    )
+    if resident:
+        best_t, best_i = _launch_resident(
+            order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+        )
+    else:
+        w_padded = jax.lax.stop_gradient(_pad_blocks(packed, bpc).w)
+        best_t, best_i = _launch_streamed(
+            order, enter_sorted, feats, w_padded, ray_tile, bpc, interpret
+        )
     best_t = best_t[:r]
     best_i = best_i[:r]
     tri = jnp.where(best_i >= 0, packed.tri_map[jnp.maximum(best_i, 0)], -1)

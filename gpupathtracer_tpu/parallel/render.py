@@ -119,6 +119,61 @@ def make_ring_intersect(
     return intersect
 
 
+def make_ulysses_intersect(
+    local_scene: TriangleScene, rows_per_shard: int, n_scene: int, options
+):
+    """Closest hit via Ulysses-style all-to-all resharding (SURVEY.md §2.4
+    SP row, §5 "Ulysses analogue").
+
+    The phase-reshard formulation: between the pixel-sharded gen/shade
+    phases and the scene-block-sharded intersect phase, rays change layout
+    instead of the scene moving or hit records being replicated:
+
+    1. gen/shade run with pixels sharded over BOTH mesh axes — each device
+       owns r_local = R/(D·S) rays (no redundant shading work, unlike the
+       all-gather strategy where every 'scene' peer shades the same rays);
+    2. ``all_gather`` over 'scene' re-lays rays out block-sharded: every
+       device gets its group's S·r_local rays against its N/S scene rows;
+    3. the partial hit records transpose BACK to pixel layout with ONE
+       ``lax.all_to_all`` — device s keeps its ray chunk, receiving each
+       peer's candidate (t, row) for exactly those rays;
+    4. a local first-wins argmin over the shard axis resolves the winner
+       (shard order == scene row order, so ties break identically to the
+       reference's sequential loop, kernel.cu:110-125).
+
+    Wire cost per device per bounce: S·r_local ray records out (gather) +
+    S·r_local hit records (all_to_all) — ray-sized and independent of scene
+    size, vs the ring strategy's S·|shard| scene-sized traffic and the
+    all-gather strategy's S·R hit records. See ARCHITECTURE.md for the
+    crossover discussion.
+    """
+    local_fn = make_intersect_fn(local_scene, options)
+    offset = jax.lax.axis_index("scene").astype(jnp.int32) * rows_per_shard
+
+    def intersect(o, d, _scene) -> Hit:
+        r_local = o.shape[0]
+        # pixel layout -> scene-block layout: gather the group's rays.
+        o_all = jax.lax.all_gather(o, "scene", tiled=True)  # (S*r_local, 3)
+        d_all = jax.lax.all_gather(d, "scene", tiled=True)
+        h = local_fn(o_all, d_all, local_scene)
+        tri_g = jnp.where(h.tri >= 0, h.tri + offset, -1)
+        # scene-block layout -> pixel layout: transpose partial hits so each
+        # device holds all S candidates for its own r_local rays.
+        t_all = jax.lax.all_to_all(
+            h.t.reshape(n_scene, r_local), "scene", split_axis=0, concat_axis=0
+        )  # (S, r_local): row p = peer p's candidate for my chunk
+        i_all = jax.lax.all_to_all(
+            tri_g.reshape(n_scene, r_local), "scene", split_axis=0, concat_axis=0
+        )
+        s = jnp.argmin(t_all, axis=0)  # first-wins == scene-order ties
+        rr = jnp.arange(r_local)
+        best_t = t_all[s, rr]
+        best_i = i_all[s, rr]
+        return Hit(t=best_t, tri=best_i, hit=best_i >= 0)
+
+    return intersect
+
+
 def make_scene_sharded_intersect(local_scene: TriangleScene, rows_per_shard: int, options):
     """Closest hit across the 'scene' axis: local sweep + all-gather argmin."""
     local_fn = make_intersect_fn(local_scene, options)
@@ -150,18 +205,29 @@ def render_frame_distributed(
     """Distributed render: returns the (H, W, 3) mean-radiance frame.
 
     Pixels shard over 'data'; the intersection sweep shards over 'scene'.
-    ``scene_strategy`` picks the hit-resolution collective: "allgather"
-    (all-gather per-ray hit records + first-wins argmin) or "ring"
-    (``ppermute`` scene-shard rotation with rays resident — scene-sized wire
-    cost, the ring-attention analogue). Bit-identical to render_frame for
-    any mesh shape and either strategy (layout-invariant keys, per-pixel
-    accumulation, exact hit resolution).
+    ``scene_strategy`` picks the hit-resolution collective:
+
+    - "allgather": every 'scene' peer traces all of its data-shard's rays
+      against its rows, then per-ray hit records all-gather + first-wins
+      argmin;
+    - "ring": ``ppermute`` scene-shard rotation with rays resident —
+      scene-sized wire cost, the ring-attention analogue;
+    - "ulysses": pixels shard over BOTH axes (gen/shade r/(D·S) rays per
+      device); rays reshard pixel-layout ↔ scene-block-layout around the
+      intersect phase with all_gather + ``lax.all_to_all`` — ray-sized wire
+      cost AND no redundant shading (the Ulysses attention analogue).
+
+    Bit-identical to render_frame for any mesh shape and every strategy
+    (layout-invariant keys, per-pixel accumulation, exact hit resolution).
     """
     h, w = settings.height, settings.width
     r = h * w
     n_data = mesh.shape["data"]
     n_scene = mesh.shape["scene"]
-    assert r % n_data == 0, f"pixels {r} not divisible by data axis {n_data}"
+    ulysses = scene_strategy == "ulysses" and n_scene > 1
+    pix_axes = ("data", "scene") if ulysses else "data"
+    n_pix_shards = n_data * n_scene if ulysses else n_data
+    assert r % n_pix_shards == 0, f"pixels {r} not divisible by {n_pix_shards} pixel shards"
 
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
@@ -172,8 +238,8 @@ def render_frame_distributed(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("data"), P(None), P("scene"), P(None)),
-        out_specs=P("data"),
+        in_specs=(P(pix_axes), P(None), P("scene"), P(None)),
+        out_specs=P(pix_axes),
         check_vma=False,
     )
     def run(pix, scene_rep, tri_shard, key):
@@ -182,6 +248,8 @@ def render_frame_distributed(
         )
         if n_scene == 1:
             intersect_fn = make_intersect_fn(local_scene, opts)
+        elif ulysses:
+            intersect_fn = make_ulysses_intersect(local_scene, rows_per_shard, n_scene, opts)
         elif scene_strategy == "ring":
             intersect_fn = make_ring_intersect(local_scene, rows_per_shard, n_scene, opts)
         else:

@@ -62,10 +62,14 @@ class IntegratorOptions:
     intersector: str = "auto"
     # Estimator: "naive" = emitter-hit accumulation only (the reference
     # README's design); "nee" = next-event estimation (explicit light
-    # sampling). NEE converges far faster AND is what makes geometry
-    # gradients nonzero under detached sampling: its cosθ_x·cosθ_y/r² term
-    # is differentiable wrt vertices/normals, whereas naive PT's path
-    # contributions are products of constants (see grad/).
+    # sampling); "mis" = NEE + BSDF samples combined with the balance
+    # heuristic (one sample from each strategy per diffuse vertex). NEE
+    # converges far faster AND is what makes geometry gradients nonzero
+    # under detached sampling: its cosθ_x·cosθ_y/r² term is differentiable
+    # wrt vertices/normals, whereas naive PT's path contributions are
+    # products of constants (see grad/). MIS additionally keeps variance
+    # bounded when the light subtends a large solid angle (where pure NEE's
+    # cos·cos/r² term is wild) — the production default.
     estimator: str = "naive"
     # Sort rays for tile coherence: standalone (octant, Morton) wrapper when
     # compaction is off, or folded into the compaction permutation
@@ -91,10 +95,13 @@ def resolved_intersector(options: IntegratorOptions) -> str:
     return which
 
 
-def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
+def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions, packed=None):
     """Build the closest-hit function for the configured backend.
 
     Packs the scene once (hoisted out of the bounce/sample loops under jit).
+    ``packed``: an eagerly pre-packed PackedScene (render_frame's concrete
+    fast path) — skips the traced re-pack, whose static-shape discipline
+    must append a full flipped copy (2× blocks for one-sided meshes).
     """
     from gpupathtracer_tpu.ops import pallas_intersect, plucker
 
@@ -109,7 +116,8 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
     if which == "pallas":
         import jax as _jax
 
-        packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+        if packed is None:
+            packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
         interpret = _jax.default_backend() != "tpu"
         base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
             o, d, packed, interpret=interpret
@@ -124,7 +132,11 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions):
 
 
 def make_occlusion_fn(
-    scene: TriangleScene, options: IntegratorOptions, intersect_fn, allow_kernel: bool = True
+    scene: TriangleScene,
+    options: IntegratorOptions,
+    intersect_fn,
+    allow_kernel: bool = True,
+    packed=None,
 ):
     """Build ``occluded(o, d, max_t) -> bool``: ∃ accepted hit with t < max_t.
 
@@ -141,7 +153,8 @@ def make_occlusion_fn(
     if allow_kernel and resolved_intersector(options) == "pallas":
         from gpupathtracer_tpu.ops import pallas_intersect
 
-        packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+        if packed is None:
+            packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
         if packed.w.size * 4 <= pallas_intersect.RESIDENT_BUDGET_BYTES:
             interpret = _jax.default_backend() != "tpu"
             return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
@@ -175,20 +188,25 @@ def trace_paths(
     keys: jnp.ndarray,  # (R,) PRNG keys (one per path)
     options: IntegratorOptions,
     intersect_fn=None,
+    packed=None,
 ) -> jnp.ndarray:
     """Trace R paths for ``options.bounces`` bounces; returns radiance (R,3).
 
     ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
     the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
+    ``packed``: pre-packed Pallas scene (see make_intersect_fn).
     """
     custom_intersect = intersect_fn is not None
     if intersect_fn is None:
-        intersect_fn = make_intersect_fn(scene, options)
+        intersect_fn = make_intersect_fn(scene, options, packed=packed)
     r = origins.shape[0]
     background = jnp.asarray(options.background, jnp.float32)
-    nee = options.estimator == "nee"
+    mis = options.estimator == "mis"
+    nee = options.estimator == "nee" or mis
     occlude_fn = (
-        make_occlusion_fn(scene, options, intersect_fn, allow_kernel=not custom_intersect)
+        make_occlusion_fn(
+            scene, options, intersect_fn, allow_kernel=not custom_intersect, packed=packed
+        )
         if nee
         else None
     )
@@ -236,7 +254,7 @@ def trace_paths(
         return occlude_fn(o_c, d_c, mt_c)[inv] & mask
 
     def bounce(state, bounce_idx):
-        o, d, throughput, radiance, alive, specular_chain = state
+        o, d, throughput, radiance, alive, prev_nee, prev_pdf = state
         hit: Hit = masked_intersect(o, d, alive)
         attrs = resolve_hits(o, d, scene, hit.tri)
         found = alive & hit.hit
@@ -253,12 +271,34 @@ def trace_paths(
         is_glass = mat["type"] == BxdfType.GLASS
 
         # EMITTER: two-sided Le = emissive * intensity (utilities.h:96-103);
-        # path terminates (reference sets outgoing = 0). Under NEE, diffuse-
-        # scattered emitter hits are already accounted by light sampling —
-        # count hit emitters only on camera-direct/specular chains.
+        # path terminates (reference sets outgoing = 0). Accounting depends
+        # on whether the PREVIOUS vertex performed light sampling:
+        # - naive: every emitter hit counts in full;
+        # - nee: hits whose previous vertex did NEE (= was diffuse) are
+        #   already covered by its light sample — count only hits arriving
+        #   from the camera or a specular (non-NEE) vertex. Per-vertex, not
+        #   whole-chain: diffuse→mirror→emitter energy is generated ONLY by
+        #   BSDF sampling (the diffuse vertex's light sample is a different
+        #   path) and must count in full;
+        # - mis: hits from an NEE vertex count with the balance-heuristic
+        #   weight pdf_bsdf / (pdf_bsdf + pdf_light(ω)) — the complement of
+        #   the weight the light sample below carries.
         le = mat["emissive"] * mat["intensity"][:, None]
-        count_emit = (found & is_emit) & (specular_chain if nee else True)
-        radiance = radiance + jnp.where(count_emit[:, None], throughput * le, 0.0)
+        if mis:
+            # Solid-angle pdf the light sampler would assign to this hit:
+            # area-uniform over emitters ⇒ t² / (cosθ_y · A_total).
+            cos_y_hit = jnp.abs(jnp.sum(attrs.gn * d, axis=-1))
+            t2 = attrs.t * attrs.t
+            pdf_light_hit = t2 / jnp.maximum(cos_y_hit * total_light_area, 1e-12)
+            w_bsdf = prev_pdf / jnp.maximum(prev_pdf + pdf_light_hit, 1e-12)
+            emit_w = jnp.where(prev_nee, w_bsdf, 1.0)
+            count_emit = found & is_emit
+        else:
+            emit_w = 1.0
+            count_emit = (found & is_emit) & (~prev_nee if nee else True)
+        radiance = radiance + jnp.where(
+            count_emit[:, None], throughput * le * (emit_w[:, None] if mis else 1.0), 0.0
+        )
 
         # Shading frame. One-sided triangles are always front hits (the
         # backface cull guarantees dot(d, gn) < 0); two-sided primitives get
@@ -315,6 +355,14 @@ def trace_paths(
             )
             geom = jnp.maximum(cos_x, 0.0) * cos_y / dist2 * total_light_area
             contrib = throughput * (mat["albedo"] / jnp.pi) * le_y * geom[:, None]
+            if mis:
+                # Balance heuristic vs the cosine BSDF sampler: the weight
+                # pair with the emitter-hit branch above sums to 1 for every
+                # (x, y), so the combination stays unbiased.
+                pdf_light = dist2 / jnp.maximum(cos_y * total_light_area, 1e-12)
+                pdf_bsdf_l = jnp.maximum(cos_x, 0.0) / jnp.pi
+                w_light = pdf_light / jnp.maximum(pdf_light + pdf_bsdf_l, 1e-12)
+                contrib = contrib * w_light[:, None]
             use = found & is_diffuse & lit & (total_light_area > 0)
             radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
 
@@ -378,8 +426,13 @@ def trace_paths(
 
         o = jnp.where(scatter[:, None], new_o, o)
         d = jnp.where(scatter[:, None], new_d, d)
-        specular_next = specular_chain & (is_mirror | is_glass)
-        return (o, d, new_throughput, radiance, alive_next, specular_next), None
+        # Next-bounce accounting state: did THIS vertex light-sample (only
+        # diffuse vertices do), and with what solid-angle BSDF pdf did it
+        # scatter (cosine-weighted ⇒ cosθ/π) — the MIS weight inputs.
+        prev_nee_next = scatter & is_diffuse
+        cos_scatter = jnp.maximum(jnp.sum(new_d * n_shade, axis=-1), 0.0)
+        prev_pdf_next = jnp.where(prev_nee_next, cos_scatter / jnp.pi, 0.0)
+        return (o, d, new_throughput, radiance, alive_next, prev_nee_next, prev_pdf_next), None
 
     init = (
         origins,
@@ -387,9 +440,10 @@ def trace_paths(
         jnp.ones((r, 3), jnp.float32),
         jnp.zeros((r, 3), jnp.float32),
         jnp.ones((r,), jnp.bool_),
-        jnp.ones((r,), jnp.bool_),  # specular_chain: no diffuse bounce yet
+        jnp.zeros((r,), jnp.bool_),  # prev_nee: camera vertex does no NEE
+        jnp.zeros((r,), jnp.float32),  # prev_pdf
     )
-    (o, d, throughput, radiance, alive, _), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, _, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(options.bounces)
     )
     return radiance

@@ -38,7 +38,7 @@ class RenderSettings:
     ray_chunk: int = 8192
     use_shading_normals: bool = False
     intersector: str = "auto"  # see IntegratorOptions.intersector
-    estimator: str = "naive"  # "naive" (reference design) | "nee" (light sampling)
+    estimator: str = "naive"  # "naive" (reference design) | "nee" | "mis" (balance heuristic)
     # Per-call ray sorting for bounce coherence (pallas backend only); see
     # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
     sort_rays: bool = False
@@ -76,15 +76,28 @@ def render_frame(
     be concrete — i.e. call this outside jit) and passes it to the jitted
     core as a traced pytree, so camera/material/seed updates reuse the
     compiled executable and the BVH rebuilds only when geometry changes.
+
+    The Pallas backend gets the same treatment: a concrete scene is packed
+    ONCE eagerly (trimmed to live rows — half the blocks of the traced
+    static-shape pack for one-sided meshes) and handed to the jitted core as
+    a traced pytree; under jit/grad the traced pack path is used instead.
     """
-    if settings.intersector == "bvh" and not isinstance(scene.v0, jax.core.Tracer):
+    concrete = not isinstance(scene.v0, jax.core.Tracer)
+    if settings.intersector == "bvh" and concrete:
         from gpupathtracer_tpu.accel.bvh import build_bvh
 
         return _render_frame_bvh(scene, build_bvh(scene), camera, settings, seed)
+    from gpupathtracer_tpu.render.integrator import resolved_intersector
+
+    if concrete and resolved_intersector(_integrator_options(settings)) == "pallas":
+        from gpupathtracer_tpu.ops.pallas_intersect import pack_scene
+
+        packed = pack_scene(scene, tri_block=settings.tri_block)
+        return _render_frame_prepacked(scene, packed, camera, settings, seed)
     return _render_frame_core(scene, camera, settings, seed)
 
 
-def _frame_body(scene, camera, settings, seed, intersect_fn):
+def _frame_body(scene, camera, settings, seed, intersect_fn, packed=None):
     h, w = settings.height, settings.width
     assert camera.width == w and camera.height == h, "camera/screen size mismatch"
     opts = _integrator_options(settings)
@@ -101,7 +114,7 @@ def _frame_body(scene, camera, settings, seed, intersect_fn):
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
     film_sum = accumulate_radiance(
-        scene, camera, pixel_idx, settings, base_key, intersect_fn
+        scene, camera, pixel_idx, settings, base_key, intersect_fn, packed=packed
     )
     return (film_sum / settings.spp).reshape(h, w, 3)
 
@@ -120,6 +133,14 @@ def _render_frame_core(
 
 
 @partial(jax.jit, static_argnames=("settings",))
+def _render_frame_prepacked(scene, packed, camera, settings, seed=None):
+    from gpupathtracer_tpu.render.integrator import make_intersect_fn
+
+    intersect_fn = make_intersect_fn(scene, _integrator_options(settings), packed=packed)
+    return _frame_body(scene, camera, settings, seed, intersect_fn, packed=packed)
+
+
+@partial(jax.jit, static_argnames=("settings",))
 def _render_frame_bvh(scene, bvh, camera, settings, seed=None):
     from gpupathtracer_tpu.accel.bvh import intersect_bvh
 
@@ -128,7 +149,8 @@ def _render_frame_bvh(scene, bvh, camera, settings, seed=None):
 
 
 def accumulate_radiance(
-    scene, camera, pixel_idx, settings, base_key, intersect_fn, sample_start=0, num_samples=None
+    scene, camera, pixel_idx, settings, base_key, intersect_fn,
+    sample_start=0, num_samples=None, packed=None,
 ):
     """Sum of per-sample radiance for the given pixels (spp loop, `lax.scan`).
 
@@ -153,7 +175,9 @@ def accumulate_radiance(
         else:
             jitter_uv = None
         o, d = generate_rays_for_pixels(camera, pixel_idx, jitter_uv)
-        radiance = trace_paths(scene, o, d, keys, opts, intersect_fn=intersect_fn)
+        radiance = trace_paths(
+            scene, o, d, keys, opts, intersect_fn=intersect_fn, packed=packed
+        )
         return film_sum + radiance, None
 
     film_sum, _ = jax.lax.scan(
@@ -162,7 +186,6 @@ def accumulate_radiance(
     return film_sum
 
 
-@partial(jax.jit, static_argnames=("settings", "num_samples"))
 def render_samples(
     scene: TriangleScene,
     camera: Camera,
@@ -175,16 +198,35 @@ def render_samples(
 
     The progressive/checkpointed entry point: summing chunk outputs over a
     partition of [0, spp) is bit-identical to ``render_frame * spp``.
+    Concrete scenes get the eager-pack fast path (see render_frame).
     """
+    from gpupathtracer_tpu.render.integrator import resolved_intersector
+
+    packed = None
+    if not isinstance(scene.v0, jax.core.Tracer) and (
+        resolved_intersector(_integrator_options(settings)) == "pallas"
+    ):
+        from gpupathtracer_tpu.ops.pallas_intersect import pack_scene
+
+        packed = pack_scene(scene, tri_block=settings.tri_block)
+    return _render_samples_core(
+        scene, packed, camera, settings, sample_start, num_samples, seed
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "num_samples"))
+def _render_samples_core(
+    scene, packed, camera, settings, sample_start, num_samples: int, seed=None
+):
     h, w = settings.height, settings.width
     pixel_idx = jnp.arange(h * w, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
     from gpupathtracer_tpu.render.integrator import make_intersect_fn
 
-    intersect_fn = make_intersect_fn(scene, _integrator_options(settings))
+    intersect_fn = make_intersect_fn(scene, _integrator_options(settings), packed=packed)
     film = accumulate_radiance(
         scene, camera, pixel_idx, settings, base_key, intersect_fn,
-        sample_start=sample_start, num_samples=num_samples,
+        sample_start=sample_start, num_samples=num_samples, packed=packed,
     )
     return film.reshape(h, w, 3)
 

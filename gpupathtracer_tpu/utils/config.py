@@ -72,10 +72,15 @@ def parse_config(cfg: dict, config_dir: str = "."):
             scl = (scl, scl, scl)
         if kind == "mesh":
             obj_path = _find_asset(g["obj"], search_dirs)
+            mesh = obj_path
+            if int(g.get("subdivide", 0)) > 0:
+                from gpupathtracer_tpu.models.obj import load_obj, subdivide_mesh
+
+                mesh = subdivide_mesh(load_obj(obj_path), int(g["subdivide"]))
             # Glass needs exit hits → force two-sided intersection.
             specs.append(
                 mesh_spec(
-                    obj_path,
+                    mesh,
                     position=pos,
                     rotation_deg=rot,
                     scale=scl,
@@ -127,6 +132,8 @@ def parse_config(cfg: dict, config_dir: str = "."):
         use_shading_normals=bool(rnd.get("use_shading_normals", False)),
         intersector=rnd.get("intersector", "auto"),
         estimator=rnd.get("estimator", "naive"),
+        sort_rays=bool(rnd.get("sort_rays", False)),
+        compact=bool(rnd.get("compact", True)),
     )
     return specs, materials, camera, settings
 

@@ -1,7 +1,8 @@
 """Coverage for the Pallas kernel paths the round-1 suite missed:
 the any-hit occlusion kernel (ops/pallas_intersect.py::_kernel_occlusion)
-and the streaming (non-VMEM-resident) grid path (::_kernel/_launch).
-Both run interpret-mode on CPU against the Möller–Trumbore oracle."""
+and the streaming non-VMEM-resident path (::_kernel_streamed — in-kernel
+double-buffered cluster DMA). Both run interpret-mode on CPU against the
+Möller–Trumbore oracle."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -90,8 +91,8 @@ def test_occlusion_kernel_dead_lanes_unoccluded():
 
 
 def test_streaming_launch_matches_resident(monkeypatch):
-    """Force the streaming grid path (_launch) — what any scene over the
-    VMEM budget hits on TPU — and demand bit-equal hits vs the resident
+    """Force the streaming path (_launch_streamed) — what any scene over
+    the VMEM budget hits on TPU — and demand bit-equal hits vs the resident
     while_loop kernel and >99.9% agreement with the oracle."""
     scene, o, d = random_scene(seed=9)
     packed = pack_scene(scene, tri_block=128)

@@ -59,6 +59,37 @@ def test_ring_rotation_bitmatches_single(n_data, n_scene):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("n_data,n_scene", [(4, 2), (2, 4), (1, 8)])
+def test_ulysses_reshard_bitmatches_single(n_data, n_scene):
+    """The all-to-all reshard strategy (pixels sharded over both axes;
+    rays change layout around the intersect phase) is bit-identical to
+    single-device and to the other two strategies."""
+    scene = _scene(pad=128 * n_scene)
+    mesh = make_mesh(n_data=n_data, n_scene=n_scene, devices=jax.devices()[: n_data * n_scene])
+    ref = np.asarray(render_frame(scene, CAMERA, SETTINGS))
+    out = np.asarray(
+        render_frame_distributed(scene, CAMERA, SETTINGS, mesh, scene_strategy="ulysses")
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_ulysses_nee_matches():
+    """Shadow rays route through the ulysses reshard too (custom intersect
+    fn drives the occlusion fallback) — NEE frames must still agree."""
+    scene = _scene(pad=256)
+    mesh = make_mesh(n_data=2, n_scene=2, devices=jax.devices()[:4])
+    settings = RenderSettings(
+        width=16, height=16, spp=2, bounces=2, tri_block=128,
+        intersector="plucker", estimator="nee",
+    )
+    cam = Camera.create(position=(0.5, 0.5, 3.0), width=16, height=16)
+    ref = np.asarray(render_frame(scene, cam, settings))
+    out = np.asarray(
+        render_frame_distributed(scene, cam, settings, mesh, scene_strategy="ulysses")
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_distributed_nee_matches():
     scene = _scene(pad=256)
     mesh = make_mesh(n_data=4, n_scene=2, devices=jax.devices()[:8])
