@@ -295,6 +295,170 @@ def primary_edge_gradient(
     return jax.grad(boundary_scalar)(params)
 
 
+def shadow_edge_gradient(
+    scene_fn,
+    params,
+    camera: Camera,
+    settings: RenderSettings,
+    cot_image: jnp.ndarray,
+    table: EdgeTable,
+    key,
+    n_samples: int = 512,
+    eps: float = 1e-3,
+    chunk: int = 128,
+):
+    """Boundary-term gradient from SHADOW silhouettes at the first diffuse
+    vertex — the NEE visibility discontinuity (SURVEY.md §7.3's second term).
+
+    The direct-light integral at a shading point x,
+    L(x) = ∫ (albedo/π)·Le·cosθ_x·V(x, ω) dω over the light's solid angle,
+    jumps across blocker silhouettes *as seen from x*. Analogous to the
+    primary estimator but in the unit-direction domain:
+
+    1. sample camera pixels, trace the (detached) primary hit → x;
+    2. classify every edge's silhouette-ness against x (front ⊕ front wrt
+       x — per-(x, edge) data, chunked to bound the (M, E) intermediates);
+    3. pick an edge ∝ direction-chord length, a point z on it;
+    4. Δf between rays from x grazing either side of the edge: each traced
+       one bounce — emitter hit ⇒ f = albedo/π·Le·cosθ_x, else 0 (partial
+       blockers and non-occluding edges cancel automatically);
+    5. the θ-dependence enters through ω(θ) = normalize(z(θ) − x(θ)); x(θ)
+       re-derived differentiably on the frozen primary ray/triangle
+       (resolve_hits), so blockers AND receivers both carry gradient.
+
+    The boundary of the integral is estimator-independent, so computing it
+    in the solid-angle domain stays correct even though the interior NEE
+    estimator samples light area. Deeper-bounce shadow boundaries and
+    per-x edge hierarchies (needed for >10⁴-edge scenes) are future work;
+    see tests/test_edges.py::test_shadow_edge_gradient_fd.
+    """
+    from gpupathtracer_tpu.models.materials import BxdfType
+    from gpupathtracer_tpu.ops.intersect import resolve_hits
+    from gpupathtracer_tpu.render.integrator import RAY_OFFSET, make_intersect_fn
+
+    scene = jax.lax.stop_gradient(scene_fn(params))
+    cam_d = jax.lax.stop_gradient(camera)
+    opts = _integrator_options(settings)
+    intersect = make_intersect_fn(scene, opts)
+    h_pix, w_pix = settings.height, settings.width
+
+    tri1 = jnp.asarray(table.tri1)
+    corner = jnp.asarray(table.corner)
+    tri2 = jnp.asarray(table.tri2)
+    two = jnp.asarray(table.two_sided)
+    va, vb = edge_endpoints(scene, tri1, corner)  # (E,3) detached
+
+    k_pix, k_jit, k_pick, k_s = jax.random.split(key, 4)
+    pix = jax.random.randint(k_pix, (n_samples,), 0, h_pix * w_pix).astype(jnp.uint32)
+    jitter = jax.random.uniform(k_jit, (n_samples, 2))
+    o, d = generate_rays_for_pixels(cam_d, pix, jitter)
+    hit = intersect(o, d, scene)
+    attrs = resolve_hits(o, d, scene, hit.tri)
+    mat_t = scene.materials.type[attrs.mat_id]
+    diffuse = hit.hit & (mat_t == BxdfType.DIFFUSE)
+    x = jnp.where(hit.hit[:, None], attrs.point, o)
+    facing = -jnp.sign(jnp.sum(d * attrs.gn, axis=-1, keepdims=True))
+    n_x = attrs.gn * jnp.where(facing == 0.0, 1.0, facing)
+    albedo = scene.materials.albedo[attrs.mat_id]
+
+    # Per-(x, edge) silhouette classification + chord weights, chunked.
+    def front_wrt(t, xs):  # (C, E)
+        return jnp.einsum("ek,cek->ce", scene.gn[t], xs[:, None, :] - scene.v0[t][None]) > 0
+
+    picks, qs, svals = [], [], []
+    m = n_samples
+    for c0 in range(0, m, chunk):
+        xs = x[c0 : c0 + chunk]
+        f1 = front_wrt(tri1, xs)
+        boundary = (tri2 < 0)[None, :]
+        f2 = jnp.where(boundary, f1, front_wrt(jnp.maximum(tri2, 0), xs))
+        sil = jnp.where(boundary, f1 | two[None, :], f1 != f2)
+        wa_dir = va[None] - xs[:, None]
+        wb_dir = vb[None] - xs[:, None]
+        wa_dir = wa_dir / jnp.maximum(jnp.linalg.norm(wa_dir, axis=-1, keepdims=True), 1e-12)
+        wb_dir = wb_dir / jnp.maximum(jnp.linalg.norm(wb_dir, axis=-1, keepdims=True), 1e-12)
+        chord_c = jnp.linalg.norm(wa_dir - wb_dir, axis=-1) * sil
+        total_c = jnp.sum(chord_c, axis=-1, keepdims=True)
+        logits = jnp.where(chord_c > 0, jnp.log(jnp.maximum(chord_c, 1e-30)), -jnp.inf)
+        logits = jnp.where(total_c > 0, logits, jnp.zeros_like(logits))
+        kc = jax.random.fold_in(k_pick, c0)
+        pk = jax.random.categorical(kc, logits, axis=-1)
+        q = jnp.take_along_axis(chord_c, pk[:, None], axis=-1)[:, 0] / jnp.maximum(
+            total_c[:, 0], 1e-30
+        )
+        picks.append(pk)
+        qs.append(q)
+    pick = jnp.concatenate(picks)
+    q_pick = jnp.concatenate(qs)
+    s = jax.random.uniform(k_s, (m,))
+
+    va_p, vb_p = va[pick], vb[pick]
+    z = (1.0 - s[:, None]) * va_p + s[:, None] * vb_p
+
+    def omega_of(zq, xq):
+        w_dir = zq - xq
+        return w_dir / jnp.maximum(jnp.linalg.norm(w_dir, axis=-1, keepdims=True), 1e-12)
+
+    omega, tau = jax.jvp(lambda zq: omega_of(zq, x), (z,), (vb_p - va_p,))
+    t_len = jnp.linalg.norm(tau, axis=-1)
+    tau_hat = tau / jnp.maximum(t_len, 1e-12)[:, None]
+
+    # Outward normal in the tangent plane at ω (away from the front owner).
+    f1_pick = jnp.einsum("mk,mk->m", scene.gn[tri1[pick]], x - scene.v0[tri1[pick]]) > 0
+    int_tri = jnp.where(f1_pick, tri1[pick], jnp.maximum(tri2[pick], 0))
+    v0i = scene.v0[int_tri]
+    pts_i = jnp.stack([v0i, v0i + scene.e1[int_tri], v0i + scene.e2[int_tri]], axis=1)
+    third = pts_i[jnp.arange(m), (corner[pick] + 2) % 3]
+    dir3 = omega_of(third, x)
+    v = dir3 - jnp.sum(dir3 * omega, axis=-1, keepdims=True) * omega
+    v = v - jnp.sum(v * tau_hat, axis=-1, keepdims=True) * tau_hat
+    n_hat = -v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    def f_sa(w_dir):
+        w_dir = w_dir / jnp.maximum(jnp.linalg.norm(w_dir, axis=-1, keepdims=True), 1e-12)
+        o2 = x + RAY_OFFSET * n_x
+        h2 = intersect(o2, w_dir, scene)
+        a2 = resolve_hits(o2, w_dir, scene, h2.tri)
+        m2 = scene.materials.type[a2.mat_id]
+        le = (
+            scene.materials.emissive_color[a2.mat_id]
+            * scene.materials.intensity[a2.mat_id][:, None]
+        )
+        emit = h2.hit & (m2 == BxdfType.EMITTER)
+        cosx = jnp.maximum(jnp.sum(n_x * w_dir, axis=-1), 0.0)
+        return jnp.where(emit[:, None], albedo / jnp.pi * le * cosx[:, None], 0.0)
+
+    f_in = f_sa(omega - eps * n_hat)
+    f_out = f_sa(omega + eps * n_hat)
+
+    cot = cot_image.reshape(-1, 3)[pix]
+    w_m = (
+        jnp.sum(cot * (f_in - f_out), axis=-1)
+        * t_len
+        / jnp.maximum(q_pick, 1e-30)
+        * (h_pix * w_pix)
+        / m
+    )
+    w_m = jnp.where(diffuse & (q_pick > 0), w_m, 0.0)
+    w_m = jax.lax.stop_gradient(w_m)
+    n_hat = jax.lax.stop_gradient(n_hat)
+    s_d = jax.lax.stop_gradient(s)
+    pick_d = jax.lax.stop_gradient(pick)
+    tri_d = jax.lax.stop_gradient(hit.tri)
+    o_d = jax.lax.stop_gradient(o)
+    d_d = jax.lax.stop_gradient(d)
+
+    def boundary_scalar(p):
+        sc = scene_fn(p)
+        va_t, vb_t = edge_endpoints(sc, tri1, corner)
+        z_t = (1.0 - s_d[:, None]) * va_t[pick_d] + s_d[:, None] * vb_t[pick_d]
+        x_t = resolve_hits(o_d, d_d, sc, tri_d).point  # receiver moves too
+        om = omega_of(z_t, x_t)
+        return jnp.sum(w_m * jnp.sum(n_hat * om, axis=-1))
+
+    return jax.grad(boundary_scalar)(params)
+
+
 def value_and_grad_with_edges(
     image_loss,
     scene_fn,
@@ -306,19 +470,28 @@ def value_and_grad_with_edges(
     seed=None,
     n_samples: int = 1024,
     trace_spp: int = 4,
+    shadow_edges: bool = False,
+    shadow_samples: int = 512,
 ):
-    """(loss, dL/dparams) with BOTH interior (detached estimator) and
-    boundary (edge-sampled silhouette) terms — the complete first-order
-    geometry gradient the SURVEY's §7.3 asks for.
+    """(loss, dL/dparams) with the interior (detached estimator) term plus
+    the edge-sampled boundary terms — the complete first-order geometry
+    gradient the SURVEY's §7.3 asks for. ``shadow_edges=True`` adds the
+    NEE shadow-silhouette term (first diffuse vertex).
 
     ``image_loss(img) -> scalar``; ``scene_fn(params) -> TriangleScene``.
     """
     img, vjp_fn = jax.vjp(lambda p: render_frame(scene_fn(p), camera, settings, seed=seed), params)
     loss, cot = jax.value_and_grad(image_loss)(img)
     interior = vjp_fn(cot)[0]
+    k1, k2 = jax.random.split(key)
     boundary = primary_edge_gradient(
-        scene_fn, params, camera, settings, cot, table, key,
+        scene_fn, params, camera, settings, cot, table, k1,
         n_samples=n_samples, trace_spp=trace_spp,
     )
     total = jax.tree_util.tree_map(lambda a, b: a + b, interior, boundary)
+    if shadow_edges:
+        shadow = shadow_edge_gradient(
+            scene_fn, params, camera, settings, cot, table, k2, n_samples=shadow_samples
+        )
+        total = jax.tree_util.tree_map(lambda a, b: a + b, total, shadow)
     return loss, total

@@ -9,12 +9,17 @@ from the target rendering, using Adam (optax) on an L2 image loss through
 ``render_frame`` — dL/d(vertex, material) flows through scene compile,
 intersection attribute resolution, and the wavefront integrator.
 
-Estimator notes: detached sampling — the sample directions and the discrete
-closest-hit selection are stop_gradient'ed, so gradients are exact for
-shading-path parameters (albedo, emission) and first-order correct for
-geometry within the fixed visibility topology. Silhouette (edge) terms are
-not estimated; for the smooth-coverage recovery task here they are a small
-bias. FD validation lives in tests/test_grad.py (SURVEY.md §4.3).
+Estimator notes: this demo's default loop uses detached sampling — the
+sample directions and the discrete closest-hit selection are
+stop_gradient'ed, so gradients are exact for shading-path parameters
+(albedo, emission) and first-order correct for geometry within the fixed
+visibility topology; for this smooth-coverage recovery task the omitted
+boundary term is a small bias. When silhouette motion IS the signal,
+compose the edge-sampled boundary estimator via
+``grad.edges.value_and_grad_with_edges`` (FD-validated in
+tests/test_edges.py; the occluder-scale recovery there is exactly the task
+detached sampling cannot solve). FD validation for this loop's parameters
+lives in tests/test_grad.py (SURVEY.md §4.3).
 """
 
 from __future__ import annotations

@@ -75,19 +75,67 @@ def test_intensity_gradient_fd():
     np.testing.assert_allclose(g, fd, rtol=5e-2)  # radiance is linear in Le
 
 
-def test_vertex_offset_gradient_nonzero():
-    """Vertex gradients flow and are finite. An FD comparison is NOT valid
-    here: at low resolution the FD is dominated by silhouette (visibility)
-    terms that the detached estimator deliberately omits (PARITY.md /
-    grad/inverse.py docstring)."""
+def test_vertex_offset_gradient_fd_with_silhouette_terms():
+    """Per-vertex offset gradients vs central FD on a silhouette-dominated
+    scene — the full first-order geometry gradient (interior detached term
+    + edge-sampled boundary term, grad/edges.py). Replaces the round-1
+    nonzero-only check: the FD here is dominated by visibility motion,
+    which detached sampling alone misses entirely."""
+    from gpupathtracer_tpu.grad.edges import build_edge_table, value_and_grad_with_edges
 
-    def loss(dy):
-        return jnp.mean(
-            render_frame(scene_from(offset=jnp.asarray([0.0, dy, 0.0])), CAMERA, SETTINGS)
+    quad = jnp.asarray(
+        [
+            [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.5, 0.5, 0.0]],
+            [[-0.5, -0.5, 0.0], [0.5, 0.5, 0.0], [-0.5, 0.5, 0.0]],
+        ],
+        jnp.float32,
+    )
+    cam = Camera.create(position=(0.0, 0.0, 4.0), fov_deg=45.0, width=64, height=64)
+    settings = dataclasses.replace(
+        SETTINGS, width=64, height=64, spp=16, bounces=1, estimator="naive", jitter=True
+    )
+    black = material_table(
+        [
+            {"type": "diffuse", "albedo": (0.0, 0.0, 0.0)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ]
+    )
+
+    def scene_fn(offsets):
+        spec = GeometrySpec(
+            vertices=quad + offsets,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.zeros(3),
+            rotation_deg=jnp.zeros(3),
+            scale=jnp.ones(3),
+            mat_id=0,
+        )
+        backdrop = plane_spec((0.0, 0.0, -2.0), (0.0, 0.0, 0.0), (40.0, 40.0, 40.0), mat_id=1)
+        return build_scene([spec, backdrop], black, pad_to_multiple=8)
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    table = build_edge_table(scene_fn(jnp.zeros((2, 3, 3))))
+    _, g = value_and_grad_with_edges(
+        image_loss, scene_fn, jnp.zeros((2, 3, 3)), cam, settings,
+        table, jax.random.PRNGKey(5), n_samples=2048, trace_spp=2,
+    )
+
+    # Directional FD along "grow the quad outward" (pure silhouette motion).
+    direction = quad.at[:, :, 2].set(0.0)
+    g_dir = float(jnp.sum(g * direction))
+    h = 0.05
+
+    def loss_at(t):
+        return float(
+            image_loss(render_frame(scene_fn(t * direction), cam, settings))
         )
 
-    g = float(jax.grad(loss)(jnp.float32(0.0)))
-    assert np.isfinite(g) and g != 0
+    fd = (loss_at(h) - loss_at(-h)) / (2 * h)
+    assert fd < 0 and g_dir < 0  # growing the black quad dims the image
+    np.testing.assert_allclose(g_dir, fd, rtol=0.15)
 
 
 def test_light_height_gradient_fd():
