@@ -68,21 +68,47 @@ def cmd_benchmark(args) -> int:
     from gpupathtracer_tpu.bench import run_benchmark
 
     result = run_benchmark(
-        scene_path=args.scene, warmup=args.warmup, iters=args.iters
+        scene_path=args.scene, warmup=args.warmup, iters=args.iters,
+        backward=args.full, full_suite=args.full,
     )
     print(json.dumps(result))
     return 0
 
 
 def cmd_view(args) -> int:
-    """Turntable 'viewer': orbit the camera, write a PNG frame sequence.
+    """Viewer verbs. Default: turntable orbit → PNG frame sequence.
 
-    The offline analogue of the reference's GLFW viewer + WASD/arrow camera
-    (utilities.h:434-778, 858-893): the same Camera yaw/pitch/position model
-    drives frame-to-frame motion; one jit compile serves every frame.
+    ``--live``: progressive live preview — chunks of samples accumulate
+    into an atomically refreshed ``live.png`` (+ auto-reloading HTTP page
+    with ``--http PORT``), camera driven by stdin commands
+    (w/s/a/d/q/e/left/right/up/down/`mouse dx dy`/r/quit — the reference's
+    WASD/arrow/mouse controls, utilities.h:858-893, over the same ported
+    Camera model). Closes the reference's GLFW viewer capability
+    (utilities.h:434-778) without GL.
     """
     import dataclasses
     import os
+
+    if args.live:
+        from gpupathtracer_tpu.render.live import live_view
+        from gpupathtracer_tpu.utils.config import load_scene_file
+
+        scene, camera, settings = load_scene_file(args.scene)
+        if args.spp:
+            settings = dataclasses.replace(settings, spp=args.spp)
+        print(
+            f"live preview -> {args.out}/live.png"
+            + (f" (http://127.0.0.1:{args.http})" if args.http else "")
+            + "; commands on stdin: w/s/a/d/q/e left/right/up/down 'mouse dx dy' r quit",
+            flush=True,
+        )
+        cam, spp_done = live_view(
+            scene, camera, settings, args.out,
+            chunk_spp=args.chunk_spp, max_spp=args.max_spp,
+            http_port=args.http, gamma=args.gamma,
+        )
+        print(f"live view done ({spp_done} spp at exit)")
+        return 0
 
     import numpy as np
 
@@ -166,15 +192,23 @@ def main(argv=None) -> int:
     pb.add_argument("--scene", default=None)
     pb.add_argument("--warmup", type=int, default=1)
     pb.add_argument("--iters", type=int, default=3)
+    pb.add_argument(
+        "--full", action="store_true",
+        help="also run fwd+bwd, the per-config suite, and kernel microbenches",
+    )
     pb.set_defaults(fn=cmd_benchmark)
 
-    pv = sub.add_parser("view", help="turntable orbit render (offline viewer)")
+    pv = sub.add_parser("view", help="viewer: turntable orbit, or --live preview")
     pv.add_argument("scene")
     pv.add_argument("--out", default="turntable")
     pv.add_argument("--frames", type=int, default=12)
     pv.add_argument("--spp", type=int, default=None)
     pv.add_argument("--gamma", type=float, default=2.2)
     pv.add_argument("--gif", action="store_true")
+    pv.add_argument("--live", action="store_true", help="progressive live preview")
+    pv.add_argument("--http", type=int, default=None, help="serve the live page on this port")
+    pv.add_argument("--chunk-spp", type=int, default=2, help="samples per refinement chunk")
+    pv.add_argument("--max-spp", type=int, default=None, help="refinement cap per camera pose")
     pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")

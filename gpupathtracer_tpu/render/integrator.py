@@ -181,25 +181,52 @@ def _gather_materials(scene: TriangleScene, mat_id):
     }
 
 
-def trace_paths(
+def init_path_state(origins, directions, keys):
+    """Initial wavefront state tuple for make_bounce_fn's step function."""
+    r = origins.shape[0]
+    return (
+        origins,
+        directions,
+        jnp.ones((r, 3), jnp.float32),  # throughput
+        jnp.zeros((r, 3), jnp.float32),  # radiance
+        jnp.ones((r,), jnp.bool_),  # alive
+        jnp.zeros((r,), jnp.bool_),  # prev_nee: camera vertex does no NEE
+        jnp.zeros((r,), jnp.float32),  # prev_pdf
+        keys,
+    )
+
+
+def dead_path_state(r: int, keys):
+    """An inert state: no lane alive, every bounce application is a no-op —
+    what pipeline stages hold before their first microbatch arrives."""
+    return (
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (r, 1)),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.zeros((r,), jnp.bool_),
+        jnp.zeros((r,), jnp.bool_),
+        jnp.zeros((r,), jnp.float32),
+        keys,
+    )
+
+
+def make_bounce_fn(
     scene: TriangleScene,
-    origins: jnp.ndarray,  # (R,3)
-    directions: jnp.ndarray,  # (R,3)
-    keys: jnp.ndarray,  # (R,) PRNG keys (one per path)
     options: IntegratorOptions,
     intersect_fn=None,
     packed=None,
-) -> jnp.ndarray:
-    """Trace R paths for ``options.bounces`` bounces; returns radiance (R,3).
+):
+    """Build the single-bounce step ``bounce(state, bounce_idx) -> state``.
 
-    ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
-    the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
-    ``packed``: pre-packed Pallas scene (see make_intersect_fn).
+    The unit both the sequential scan (trace_paths) and the pipeline-
+    parallel staged wavefront (parallel/pipeline.py) iterate: state is the
+    8-tuple of init_path_state; per-lane results depend only on that lane's
+    ray and key, so any batching/staging of lanes is estimator-invariant.
     """
     custom_intersect = intersect_fn is not None
     if intersect_fn is None:
         intersect_fn = make_intersect_fn(scene, options, packed=packed)
-    r = origins.shape[0]
     background = jnp.asarray(options.background, jnp.float32)
     mis = options.estimator == "mis"
     nee = options.estimator == "nee" or mis
@@ -254,7 +281,7 @@ def trace_paths(
         return occlude_fn(o_c, d_c, mt_c)[inv] & mask
 
     def bounce(state, bounce_idx):
-        o, d, throughput, radiance, alive, prev_nee, prev_pdf = state
+        o, d, throughput, radiance, alive, prev_nee, prev_pdf, keys = state
         hit: Hit = masked_intersect(o, d, alive)
         attrs = resolve_hits(o, d, scene, hit.tri)
         found = alive & hit.hit
@@ -432,21 +459,32 @@ def trace_paths(
         prev_nee_next = scatter & is_diffuse
         cos_scatter = jnp.maximum(jnp.sum(new_d * n_shade, axis=-1), 0.0)
         prev_pdf_next = jnp.where(prev_nee_next, cos_scatter / jnp.pi, 0.0)
-        return (o, d, new_throughput, radiance, alive_next, prev_nee_next, prev_pdf_next), None
+        return (o, d, new_throughput, radiance, alive_next, prev_nee_next, prev_pdf_next, keys)
 
-    init = (
-        origins,
-        directions,
-        jnp.ones((r, 3), jnp.float32),
-        jnp.zeros((r, 3), jnp.float32),
-        jnp.ones((r,), jnp.bool_),
-        jnp.zeros((r,), jnp.bool_),  # prev_nee: camera vertex does no NEE
-        jnp.zeros((r,), jnp.float32),  # prev_pdf
+    return bounce
+
+
+def trace_paths(
+    scene: TriangleScene,
+    origins: jnp.ndarray,  # (R,3)
+    directions: jnp.ndarray,  # (R,3)
+    keys: jnp.ndarray,  # (R,) PRNG keys (one per path)
+    options: IntegratorOptions,
+    intersect_fn=None,
+    packed=None,
+) -> jnp.ndarray:
+    """Trace R paths for ``options.bounces`` bounces; returns radiance (R,3).
+
+    ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
+    the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
+    ``packed``: pre-packed Pallas scene (see make_intersect_fn).
+    """
+    bounce = make_bounce_fn(scene, options, intersect_fn=intersect_fn, packed=packed)
+    init = init_path_state(origins, directions, keys)
+    final, _ = jax.lax.scan(
+        lambda st, b: (bounce(st, b), None), init, jnp.arange(options.bounces)
     )
-    (o, d, throughput, radiance, alive, _, _), _ = jax.lax.scan(
-        bounce, init, jnp.arange(options.bounces)
-    )
-    return radiance
+    return final[3]  # radiance
 
 
 def normal_aov(
