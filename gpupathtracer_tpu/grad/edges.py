@@ -82,13 +82,21 @@ class EdgeTable:
         return self.tri1.shape[0]
 
 
-def build_edge_table(scene: TriangleScene) -> EdgeTable:
+def build_edge_table(scene: TriangleScene, native: bool = True) -> EdgeTable:
     """Hash quantized endpoint pairs → unique edges + adjacency.
 
     Works on triangle soups (the scene format): duplicated vertices merge by
     position quantization (1e-5 of the bbox diagonal). Non-manifold extras
-    (>2 faces on an edge) keep the first two faces.
+    (>2 faces on an edge) keep the first two faces. The C++ builder
+    (native/firefly_native.cpp::edge_table_build) is used when available
+    (identical output, tests/test_native.py); this Python loop is the
+    always-available oracle.
     """
+    if native:
+        from gpupathtracer_tpu import native as native_mod
+
+        if native_mod.available():
+            return native_mod.build_edge_table_native(scene)
     v0 = np.asarray(scene.v0)
     e1 = np.asarray(scene.e1)
     e2 = np.asarray(scene.e2)

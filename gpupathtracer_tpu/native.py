@@ -64,6 +64,18 @@ def _load():
         np.ctypeslib.ndpointer(np.int32),  # order
         ctypes.c_int,  # max_nodes
     ]
+    lib.edge_table_build.restype = ctypes.c_int
+    lib.edge_table_build.argtypes = [
+        np.ctypeslib.ndpointer(np.float32),  # v0
+        np.ctypeslib.ndpointer(np.float32),  # e1
+        np.ctypeslib.ndpointer(np.float32),  # e2
+        np.ctypeslib.ndpointer(np.uint8),  # valid
+        ctypes.c_int,  # n
+        ctypes.c_double,  # quantization step
+        np.ctypeslib.ndpointer(np.int32),  # tri1
+        np.ctypeslib.ndpointer(np.int32),  # corner
+        np.ctypeslib.ndpointer(np.int32),  # tri2
+    ]
     _lib = lib
     return lib
 
@@ -92,6 +104,36 @@ def load_obj_native(path: str):
         return MeshData(vertices=v, normals=n, uvs=uv)
     finally:
         lib.obj_free(h)
+
+
+def build_edge_table_native(scene):
+    """Native edge-table build → grad.edges.EdgeTable; identical to the
+    Python builder (same quantization, first-encounter order)."""
+    from gpupathtracer_tpu.grad.edges import EdgeTable
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run `make -C native`")
+    v0 = np.ascontiguousarray(np.asarray(scene.v0), np.float32)
+    e1 = np.ascontiguousarray(np.asarray(scene.e1), np.float32)
+    e2 = np.ascontiguousarray(np.asarray(scene.e2), np.float32)
+    valid = np.ascontiguousarray(np.asarray(scene.valid), np.uint8)
+    two = np.asarray(scene.two_sided)
+    n = v0.shape[0]
+    corners = np.stack([v0, v0 + e1, v0 + e2], axis=1)
+    pts = corners[valid.astype(bool)].reshape(-1, 3)
+    diag = float(np.linalg.norm(pts.max(0) - pts.min(0))) if pts.size else 1.0
+    q = 1e-5 * max(diag, 1e-12)
+    cap = 3 * max(n, 1)
+    tri1 = np.empty((cap,), np.int32)
+    corner = np.empty((cap,), np.int32)
+    tri2 = np.empty((cap,), np.int32)
+    m = lib.edge_table_build(
+        v0.reshape(-1), e1.reshape(-1), e2.reshape(-1), valid, n, q,
+        tri1, corner, tri2,
+    )
+    tri1, corner, tri2 = tri1[:m].copy(), corner[:m].copy(), tri2[:m].copy()
+    return EdgeTable(tri1=tri1, corner=corner, tri2=tri2, two_sided=two[tri1])
 
 
 def build_bvh_native(scene, leaf_size: int = 8):

@@ -48,6 +48,34 @@ from gpupathtracer_tpu.ops.plucker import K, NSCALARS, pack_rays
 DEFAULT_RAY_TILE = 128
 INF = float("inf")
 
+# MXU pass precision for the decision matmul. "highest" = f32-exact
+# (6-pass bf16 emulation) — the default and the oracle-parity setting.
+# "high" = manual 3-pass bf16 (hi/lo split; Mosaic's dot only lowers
+# DEFAULT/HIGHEST, so the error-compensated form is built from three
+# single-pass dots) — ~2x the MXU rate, hit decisions flip only at fp
+# boundaries below the 1e-6 epsilons. "default" = raw single-pass bf16
+# (NOT hit-exact; diagnostics only). Exposed as
+# RenderSettings.kernel_precision; parity-tested in tests/test_pallas_kernel.
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _decision_dot(feats, w_blk, precision: str):
+    if precision == "high":
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w_blk.astype(jnp.bfloat16)
+        wl = (w_blk - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return d(fh, wh) + (d(fh, wl) + d(fl, wh))
+    return jnp.dot(
+        feats, w_blk,
+        preferred_element_type=jnp.float32,
+        precision=PRECISIONS[precision],
+    )
+
 # The per-tile block schedule (order, (nb, ray_tiles) int32) is scalar-
 # prefetched to SMEM (1 MB); keep it comfortably under budget by widening
 # ray tiles when the scene has many blocks (see intersect_pallas).
@@ -290,7 +318,8 @@ def plan_block_order(mask: jnp.ndarray, enter: jnp.ndarray):
 
 
 def _kernel_resident(
-    order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int
+    order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int,
+    precision: str = "highest",
 ):
     """VMEM-resident variant: grid over ray tiles ONLY; the per-tile block
     schedule runs as an in-kernel ``while_loop`` with true early exit.
@@ -313,12 +342,7 @@ def _kernel_resident(
     def body(state):
         j, best_t, best_i, _worst = state
         blk = order_ref[j, i]
-        s = jnp.dot(
-            feats,
-            w_ref[blk],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TR, 5*tb)
+        s = _decision_dot(feats, w_ref[blk], precision)  # (TR, 5*tb)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
         s2 = s[:, 2 * tb : 3 * tb]
@@ -346,8 +370,8 @@ def _kernel_resident(
     best_i_ref[0, 0, :] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
-def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret", "precision"))
+def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
@@ -369,7 +393,7 @@ def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool):
         ),
     )
     best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel_resident, tb=tb, nb=nb),
+        functools.partial(_kernel_resident, tb=tb, nb=nb, precision=precision),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
@@ -416,6 +440,7 @@ def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
 def _kernel_streamed(
     order_ref, enter_ref, feats_ref, w_hbm_ref, best_t_ref, best_i_ref,
     scratch_ref, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
+    precision: str = "highest",
 ):
     """Streaming variant for scenes beyond the VMEM budget: grid over ray
     tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
@@ -464,12 +489,7 @@ def _kernel_streamed(
 
         def blk_body(b, carry):
             best_t, best_i = carry
-            s = jnp.dot(
-                feats,
-                scratch_ref[slot, b],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (TR, 5*tb)
+            s = _decision_dot(feats, scratch_ref[slot, b], precision)  # (TR, 5*tb)
             s0 = s[:, 0 * tb : 1 * tb]
             s1 = s[:, 1 * tb : 2 * tb]
             s2 = s[:, 2 * tb : 3 * tb]
@@ -507,8 +527,8 @@ def _kernel_streamed(
     best_i_ref[0, 0, :] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret"))
-def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
+def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
@@ -534,7 +554,7 @@ def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret:
         ],
     )
     best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc),
+        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
@@ -586,7 +606,8 @@ def _pad_blocks(packed: PackedScene, bpc: int) -> PackedScene:
 
 
 def _kernel_occlusion(
-    order_ref, enter_ref, feats_ref, maxt_ref, w_ref, occ_ref, *, tb: int, nb: int
+    order_ref, enter_ref, feats_ref, maxt_ref, w_ref, occ_ref, *, tb: int, nb: int,
+    precision: str = "highest",
 ):
     """Any-hit (shadow/occlusion) kernel, VMEM-resident.
 
@@ -608,12 +629,7 @@ def _kernel_occlusion(
     def body(state):
         j, occ = state
         blk = order_ref[j, i]
-        s = jnp.dot(
-            feats,
-            w_ref[blk],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        s = _decision_dot(feats, w_ref[blk], precision)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
         s2 = s[:, 2 * tb : 3 * tb]
@@ -629,8 +645,8 @@ def _kernel_occlusion(
     occ_ref[0, 0, :] = occ.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
-def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret", "precision"))
+def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
@@ -650,7 +666,7 @@ def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bo
         ),
     )
     occ = pl.pallas_call(
-        functools.partial(_kernel_occlusion, tb=tb, nb=nb),
+        functools.partial(_kernel_occlusion, tb=tb, nb=nb, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -670,6 +686,7 @@ def intersect_pallas_occluded(
     packed: PackedScene,
     ray_tile: int = DEFAULT_RAY_TILE,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Boolean occlusion query: ∃ accepted hit with t ∈ (EPSILON, max_t)?
 
@@ -694,7 +711,8 @@ def intersect_pallas_occluded(
     mask, enter = tile_block_mask(o, d, packed, ray_tile)
     order, enter_sorted = plan_block_order(mask, enter)
     occ = _launch_occlusion(
-        order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+        order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w), ray_tile, interpret,
+        precision,
     )
     return occ[:r] > 0
 
@@ -737,6 +755,7 @@ def intersect_pallas(
     packed: PackedScene,
     ray_tile: int = DEFAULT_RAY_TILE,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> Hit:
     """Closest hit of rays (R,3) against the packed scene. See module doc.
 
@@ -775,12 +794,13 @@ def intersect_pallas(
     order, enter_sorted = plan_block_order(mask, enter)
     if resident:
         best_t, best_i = _launch_resident(
-            order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret
+            order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret,
+            precision,
         )
     else:
         w_padded = jax.lax.stop_gradient(_pad_blocks(packed, bpc).w)
         best_t, best_i = _launch_streamed(
-            order, enter_sorted, feats, w_padded, ray_tile, bpc, interpret
+            order, enter_sorted, feats, w_padded, ray_tile, bpc, interpret, precision
         )
     best_t = best_t[:r]
     best_i = best_i[:r]

@@ -84,6 +84,10 @@ class IntegratorOptions:
     # compaction under static shapes (ops/compaction.py). Effective with the
     # Pallas backend only (tile-level culling); auto-gated on it.
     compact: bool = True
+    # MXU matmul precision in the Pallas kernels: "highest" (f32-exact,
+    # default) or "high" (3-pass bf16, ~2x kernel rate, fp-boundary-only
+    # hit flips — see ops/pallas_intersect.PRECISIONS).
+    kernel_precision: str = "highest"
 
 
 def resolved_intersector(options: IntegratorOptions) -> str:
@@ -120,7 +124,7 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions, packed=N
             packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
         interpret = _jax.default_backend() != "tpu"
         base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
-            o, d, packed, interpret=interpret
+            o, d, packed, interpret=interpret, precision=options.kernel_precision
         )
         if options.sort_rays and not options.compact:
             # With compaction on, coherence comes from the combined
@@ -158,7 +162,8 @@ def make_occlusion_fn(
         if packed.w.size * 4 <= pallas_intersect.RESIDENT_BUDGET_BYTES:
             interpret = _jax.default_backend() != "tpu"
             return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
-                o, d, mt, packed, interpret=interpret
+                o, d, mt, packed, interpret=interpret,
+                precision=options.kernel_precision,
             )
 
     def fallback(o, d, mt):

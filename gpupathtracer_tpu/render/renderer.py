@@ -43,6 +43,7 @@ class RenderSettings:
     # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
     sort_rays: bool = False
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
+    kernel_precision: str = "highest"  # MXU pass precision (see IntegratorOptions)
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -57,6 +58,7 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         estimator=s.estimator,
         sort_rays=s.sort_rays,
         compact=s.compact,
+        kernel_precision=s.kernel_precision,
     )
 
 

@@ -134,6 +134,7 @@ def parse_config(cfg: dict, config_dir: str = "."):
         estimator=rnd.get("estimator", "naive"),
         sort_rays=bool(rnd.get("sort_rays", False)),
         compact=bool(rnd.get("compact", True)),
+        kernel_precision=rnd.get("kernel_precision", "highest"),
     )
     return specs, materials, camera, settings
 

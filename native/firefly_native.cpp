@@ -22,6 +22,8 @@
 #include <numeric>
 #include <string>
 #include <vector>
+#include <unordered_map>
+#include <cmath>
 
 namespace {
 
@@ -295,6 +297,85 @@ int bvh_build(const float* v0, const float* e1, const float* e2, const uint8_t* 
   // Remap slot ids to original scene rows.
   for (int i = 0; i < b.n_slots; ++i) order_out[i] = rows[static_cast<size_t>(order_out[i])];
   return b.n_nodes;
+}
+
+
+// ---------------------------------------------------------------------------
+// Edge-table builder (grad/edges.py fast path): unique mesh edges with face
+// adjacency by hashing quantized endpoint pairs. Mirrors the Python builder
+// exactly (first-encounter order, first-two-faces on non-manifold edges) so
+// the two produce identical tables (tests/test_native.py).
+
+struct EdgeKey {
+  long long a[3];
+  long long b[3];
+  bool operator==(const EdgeKey& o) const {
+    for (int i = 0; i < 3; ++i)
+      if (a[i] != o.a[i] || b[i] != o.b[i]) return false;
+    return true;
+  }
+};
+
+struct EdgeKeyHash {
+  size_t operator()(const EdgeKey& k) const {
+    size_t h = 1469598103934665603ull;
+    auto mix = [&h](long long v) {
+      h ^= static_cast<size_t>(v);
+      h *= 1099511628211ull;
+    };
+    for (int i = 0; i < 3; ++i) mix(k.a[i]);
+    for (int i = 0; i < 3; ++i) mix(k.b[i]);
+    return h;
+  }
+};
+
+int edge_table_build(const float* v0, const float* e1, const float* e2,
+                     const uint8_t* valid, int n, double q,
+                     int* tri1, int* corner, int* tri2) {
+  std::unordered_map<EdgeKey, int, EdgeKeyHash> seen;
+  seen.reserve(static_cast<size_t>(n) * 2);
+  int n_edges = 0;
+  auto quant = [&](const float* p, long long* out) {
+    for (int a = 0; a < 3; ++a)
+      out[a] = static_cast<long long>(std::llround(static_cast<double>(p[a]) / q));
+  };
+  for (int t = 0; t < n; ++t) {
+    if (!valid[t]) continue;
+    float c[3][3];
+    for (int a = 0; a < 3; ++a) {
+      c[0][a] = v0[t * 3 + a];
+      c[1][a] = v0[t * 3 + a] + e1[t * 3 + a];
+      c[2][a] = v0[t * 3 + a] + e2[t * 3 + a];
+    }
+    for (int k = 0; k < 3; ++k) {
+      long long qa[3], qb[3];
+      quant(c[k], qa);
+      quant(c[(k + 1) % 3], qb);
+      // Canonical order: lexicographic min endpoint first (Python tuple <=).
+      bool swap = false;
+      for (int a = 0; a < 3; ++a) {
+        if (qa[a] < qb[a]) break;
+        if (qa[a] > qb[a]) { swap = true; break; }
+      }
+      EdgeKey key;
+      for (int a = 0; a < 3; ++a) {
+        key.a[a] = swap ? qb[a] : qa[a];
+        key.b[a] = swap ? qa[a] : qb[a];
+      }
+      auto it = seen.find(key);
+      if (it == seen.end()) {
+        seen.emplace(key, n_edges);
+        tri1[n_edges] = t;
+        corner[n_edges] = k;
+        tri2[n_edges] = -1;
+        ++n_edges;
+      } else {
+        int e = it->second;
+        if (tri2[e] == -1 && tri1[e] != t) tri2[e] = t;
+      }
+    }
+  }
+  return n_edges;
 }
 
 }  // extern "C"

@@ -65,3 +65,31 @@ def test_native_bvh_usable_for_intersection():
     h = intersect_bvh(o, d, scene, bvh)
     assert bool(h.hit[0])
     np.testing.assert_allclose(float(h.t[0]), 5.0, rtol=1e-5)
+
+
+def test_edge_table_native_matches_python():
+    """C++ edge-table builder == Python builder (order, adjacency, flags)."""
+    import numpy as np
+    import pytest
+
+    from gpupathtracer_tpu import native
+    from gpupathtracer_tpu.grad.edges import build_edge_table
+    from gpupathtracer_tpu.models.scene import build_scene, icosphere, mesh_spec, plane_spec
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/cube.obj"),
+            mesh_spec(icosphere(2), position=(3.0, 0.0, 0.0)),
+            plane_spec((0, 0, -2), (0, 0, 0), (5, 5, 5)),
+        ],
+        [{"type": "diffuse"}],
+        pad_to_multiple=8,
+    )
+    py = build_edge_table(scene, native=False)
+    nat = native.build_edge_table_native(scene)
+    np.testing.assert_array_equal(nat.tri1, py.tri1)
+    np.testing.assert_array_equal(nat.corner, py.corner)
+    np.testing.assert_array_equal(nat.tri2, py.tri2)
+    np.testing.assert_array_equal(nat.two_sided, py.two_sided)
