@@ -213,6 +213,10 @@ def run_benchmark(
 
     if backward:
         result["fwd_bwd"] = _bench_backward(scene, camera, settings, iters)
+        # The opt-in fast-math knob on the same workload (kernel_precision=
+        # "high": manual 3-pass bf16 dots; 99.997% hit agreement on chip).
+        st_high = dataclasses.replace(settings, kernel_precision="high")
+        result["fwd_high_precision"] = _bench_frame(scene, camera, st_high, iters)
 
     if full_suite:
         configs = {}

@@ -254,10 +254,12 @@ def make_bounce_fn(
 
     do_compact = options.compact and resolved_intersector(options) == "pallas"
 
-    def masked_intersect(o, d, mask) -> Hit:
+    def masked_intersect(o, d, mask, compact_now=True) -> Hit:
         """Closest hit for lanes where mask holds; dead lanes are compacted
-        away (tile-level cull) and report no hit."""
-        if not do_compact:
+        away (tile-level cull) and report no hit. ``compact_now=False``
+        skips the partition+gathers — the first bounce is all-alive and
+        camera-coherent, so compaction is pure overhead there."""
+        if not (do_compact and compact_now):
             h = intersect_fn(o, d, scene)
             return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
         from gpupathtracer_tpu.ops.compaction import compact_rays, compact_rays_coherent
@@ -285,9 +287,9 @@ def make_bounce_fn(
         mt_c = jnp.where(alive_c, mt[perm], 0.0)
         return occlude_fn(o_c, d_c, mt_c)[inv] & mask
 
-    def bounce(state, bounce_idx):
+    def bounce(state, bounce_idx, compact_now=True):
         o, d, throughput, radiance, alive, prev_nee, prev_pdf, keys = state
-        hit: Hit = masked_intersect(o, d, alive)
+        hit: Hit = masked_intersect(o, d, alive, compact_now)
         attrs = resolve_hits(o, d, scene, hit.tri)
         found = alive & hit.hit
         missed = alive & ~hit.hit
@@ -486,10 +488,15 @@ def trace_paths(
     """
     bounce = make_bounce_fn(scene, options, intersect_fn=intersect_fn, packed=packed)
     init = init_path_state(origins, directions, keys)
-    final, _ = jax.lax.scan(
-        lambda st, b: (bounce(st, b), None), init, jnp.arange(options.bounces)
-    )
-    return final[3]  # radiance
+    # Bounce 0 unrolled with compaction statically off: every lane is alive
+    # and camera-coherent, so the partition + gathers are pure overhead
+    # (~36 ms per 640k-ray sample on v5e).
+    state = bounce(init, jnp.int32(0), compact_now=False)
+    if options.bounces > 1:
+        state, _ = jax.lax.scan(
+            lambda st, b: (bounce(st, b), None), state, jnp.arange(1, options.bounces)
+        )
+    return state[3]  # radiance
 
 
 def normal_aov(
