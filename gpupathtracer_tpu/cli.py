@@ -154,8 +154,12 @@ def cmd_view(args) -> int:
 
 
 def cmd_invert(args) -> int:
-    from gpupathtracer_tpu.grad.inverse import run_inverse_demo
+    from gpupathtracer_tpu.grad.inverse import run_inverse_demo, run_silhouette_demo
 
+    if args.mode == "silhouette":
+        result = run_silhouette_demo(steps=args.steps, out_dir=args.out, spp=args.spp)
+        print(json.dumps(result))
+        return 0
     result = run_inverse_demo(
         steps=args.steps,
         out_dir=args.out,
@@ -212,6 +216,11 @@ def main(argv=None) -> int:
     pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
+    pi.add_argument(
+        "--mode", default="albedo", choices=["albedo", "silhouette"],
+        help="albedo = recover albedo+offsets (detached grads); silhouette = "
+        "recover an occluder scale via edge-sampled visibility gradients",
+    )
     pi.add_argument("--steps", type=int, default=100)
     pi.add_argument("--out", default=None)
     pi.add_argument(

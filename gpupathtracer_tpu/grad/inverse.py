@@ -77,6 +77,107 @@ def _demo_setup(width=96, height=96, spp=8, bounces=2, subdivisions=2):
     return settings, camera, make_scene, sphere_mesh
 
 
+def run_silhouette_demo(
+    steps: int = 40,
+    lr: float = 3e-2,
+    width: int = 64,
+    height: int = 64,
+    spp: int = 16,
+    true_scale: float = 0.72,
+    init_scale: float = 1.1,
+    edge_samples: int = 1024,
+    out_dir: str | None = None,
+):
+    """Recover an occluder's scale from a target image — the task detached
+    sampling provably cannot move (the occluder is black: every interior
+    gradient is exactly zero; ALL signal is silhouette motion). Uses the
+    edge-sampled boundary estimator (grad/edges.py), demonstrating SURVEY
+    §7.3's visibility gradients end-to-end. Mirrors
+    tests/test_edges.py::test_silhouette_recovery_beats_detached.
+    """
+    from gpupathtracer_tpu.grad.edges import build_edge_table, value_and_grad_with_edges
+    from gpupathtracer_tpu.models.scene import GeometrySpec, plane_spec
+
+    quad = jnp.asarray(
+        [
+            [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.5, 0.5, 0.0]],
+            [[-0.5, -0.5, 0.0], [0.5, 0.5, 0.0], [-0.5, 0.5, 0.0]],
+        ],
+        jnp.float32,
+    )
+    camera = Camera.create(position=(0.0, 0.0, 4.0), fov_deg=45.0, width=width, height=height)
+    settings = RenderSettings(
+        width=width, height=height, spp=spp, bounces=1, tri_block=8,
+        estimator="naive", intersector="auto", jitter=True,
+    )
+
+    def scene_fn(s):
+        occ = GeometrySpec(
+            vertices=quad * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.zeros(3),
+            rotation_deg=jnp.zeros(3),
+            scale=jnp.ones(3),
+            mat_id=0,
+        )
+        backdrop = plane_spec((0.0, 0.0, -2.0), (0.0, 0.0, 0.0), (40.0, 40.0, 40.0), mat_id=1)
+        return build_scene(
+            [occ, backdrop],
+            material_table(
+                [
+                    {"type": "diffuse", "albedo": (0.0, 0.0, 0.0)},
+                    {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+                ]
+            ),
+            pad_to_multiple=8,
+        )
+
+    target = jax.lax.stop_gradient(
+        render_frame(scene_fn(jnp.float32(true_scale)), camera, settings)
+    )
+
+    def image_loss(img):
+        return jnp.mean((img - target) ** 2)
+
+    table = build_edge_table(scene_fn(jnp.float32(init_scale)))
+    s = jnp.float32(init_scale)
+    opt = optax.adam(lr)
+    state = opt.init(s)
+    key = jax.random.PRNGKey(3)
+    history = []
+    detached_g0 = float(
+        jax.grad(lambda v: image_loss(render_frame(scene_fn(v), camera, settings)))(s)
+    )
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        loss, g = value_and_grad_with_edges(
+            image_loss, scene_fn, s, camera, settings, table, k,
+            n_samples=edge_samples, trace_spp=2,
+        )
+        upd, state = opt.update(g, state, s)
+        s = optax.apply_updates(s, upd)
+        if i % 5 == 0 or i == steps - 1:
+            history.append((i, float(loss), round(float(s), 4)))
+    result = {
+        "task": "silhouette_scale_recovery",
+        "true_scale": true_scale,
+        "recovered_scale": round(float(s), 4),
+        "scale_error": round(abs(float(s) - true_scale), 4),
+        "detached_gradient_at_init": detached_g0,  # provably ~0 — edges carry all signal
+        "history": history,
+    }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from gpupathtracer_tpu.render.film import to_u8
+        from gpupathtracer_tpu.utils.image import write_png
+
+        final = render_frame(scene_fn(s), camera, settings)
+        write_png(os.path.join(out_dir, "target.png"), to_u8(np.asarray(target)))
+        write_png(os.path.join(out_dir, "recovered.png"), to_u8(np.asarray(final)))
+    return result
+
+
 def run_inverse_demo(
     steps: int = 100,
     out_dir: str | None = None,

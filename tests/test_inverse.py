@@ -63,3 +63,19 @@ def test_invert_cli_smoke(tmp_path, capsys):
     result = json.loads(out)
     assert result["steps"] == 2 and np.isfinite(result["final_loss"])
     assert load_train_state(ck)["step"] == 2
+
+
+def test_invert_cli_silhouette_mode(capsys):
+    """`firefly invert --mode silhouette`: the edge-gradient task moves
+    while the detached gradient is identically zero."""
+    import json
+
+    from gpupathtracer_tpu.cli import main
+
+    rc = main(["invert", "--mode", "silhouette", "--steps", "4", "--spp", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["detached_gradient_at_init"] == 0.0
+    # 4 Adam steps at lr 3e-2 move the scale strictly toward the truth.
+    assert result["recovered_scale"] < 1.1
