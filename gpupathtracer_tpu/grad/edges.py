@@ -58,6 +58,7 @@ from gpupathtracer_tpu.models.camera import (
     view_matrix,
 )
 from gpupathtracer_tpu.models.scene import TriangleScene
+from gpupathtracer_tpu.ops.sampling import make_sampler
 from gpupathtracer_tpu.render.integrator import trace_paths
 from gpupathtracer_tpu.render.renderer import RenderSettings, _integrator_options, render_frame
 
@@ -199,10 +200,11 @@ def _trace_at_screen(scene, cam: Camera, settings: RenderSettings, xy, key, spp:
     # at screen coordinate (x, y) — the jitter convention is additive pixels.
     zero_idx = jnp.zeros((m,), jnp.uint32)
     o, d = generate_rays_for_pixels(cam, zero_idx, xy)
-    base = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, jnp.arange(m, dtype=jnp.uint32))
+    sampler = make_sampler(opts.rng)
+    lane_ids = jnp.arange(m, dtype=jnp.uint32)
 
     def one(s):
-        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(base, s)
+        keys = sampler.path_keys(key, lane_ids, s)
         return trace_paths(scene, o, d, keys, opts)
 
     acc = jnp.zeros((m, 3), jnp.float32)

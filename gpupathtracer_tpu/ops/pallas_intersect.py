@@ -118,6 +118,22 @@ def _morton_codes(centroids: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> j
     return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
 
 
+# Minimum triangle-block width for the compiled kernel: the VPU lane dim is
+# 128; narrower blocks make Mosaic legalize the while_loop carries as
+# sub-lane-width i1 vectors and fail to compile ('scf.yield' legalization).
+# Interpret mode accepts any width — pack callers clamp for compiled runs.
+MIN_COMPILED_TRI_BLOCK = 128
+
+
+def compiled_tri_block(tri_block: int) -> int:
+    """Clamp a requested tri_block for the compiled (non-interpret) kernel."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        return max(tri_block, MIN_COMPILED_TRI_BLOCK)
+    return tri_block
+
+
 def pack_scene(scene: TriangleScene, tri_block: int = 512) -> PackedScene:
     """Pack a TriangleScene for the one-sided kernel.
 
@@ -269,7 +285,7 @@ def _interval_div(nlo, nhi, dlo, dhi):
     return jnp.where(straddles, -INF, lo), jnp.where(straddles, INF, hi)
 
 
-def tile_block_mask(o, d, packed: PackedScene, ray_tile: int):
+def tile_block_mask(o, d, packed: PackedScene, ray_tile: int, alive=None):
     """Conservative tile×block culling data.
 
     Returns ``(mask, enter)``, both (ray_tiles, tri_blocks):
@@ -279,12 +295,32 @@ def tile_block_mask(o, d, packed: PackedScene, ray_tile: int):
       slab intervals of its AABB have empty t ≥ 0 overlap.
     - ``enter`` float32: a LOWER BOUND on the hit distance of any tile ray
       into the block's AABB — the front-to-back ordering / early-exit key.
+
+    ``alive`` (R,) bool: restrict each tile's interval frustum to its LIVE
+    lanes — dead lanes neither inflate the boxes nor schedule blocks, so an
+    all-dead tile culls everything. This is wavefront compaction with zero
+    data movement: no partition, no gathers, no inverse scatter
+    (ops/compaction.py is the permute alternative for sort-based coherence).
     """
     rt = o.shape[0] // ray_tile
     ot = o.reshape(rt, ray_tile, 3)
     dt = d.reshape(rt, ray_tile, 3)
-    o_lo, o_hi = jnp.min(ot, axis=1), jnp.max(ot, axis=1)  # (rt,3)
-    d_lo, d_hi = jnp.min(dt, axis=1), jnp.max(dt, axis=1)
+    if alive is None:
+        o_lo, o_hi = jnp.min(ot, axis=1), jnp.max(ot, axis=1)  # (rt,3)
+        d_lo, d_hi = jnp.min(dt, axis=1), jnp.max(dt, axis=1)
+        tile_live = None
+    else:
+        at = alive.reshape(rt, ray_tile, 1)
+        o_lo = jnp.min(jnp.where(at, ot, INF), axis=1)
+        o_hi = jnp.max(jnp.where(at, ot, -INF), axis=1)
+        d_lo = jnp.min(jnp.where(at, dt, INF), axis=1)
+        d_hi = jnp.max(jnp.where(at, dt, -INF), axis=1)
+        tile_live = at[:, :, 0].any(axis=1)
+        # Keep interval arithmetic finite for all-dead tiles (masked below).
+        o_lo = jnp.where(tile_live[:, None], o_lo, 0.0)
+        o_hi = jnp.where(tile_live[:, None], o_hi, 0.0)
+        d_lo = jnp.where(tile_live[:, None], d_lo, 1.0)
+        d_hi = jnp.where(tile_live[:, None], d_hi, 1.0)
 
     # (rt, nb, 3) numerator intervals.
     n_lo = packed.box_lo[None, :, :] - o_hi[:, None, :]
@@ -294,6 +330,8 @@ def tile_block_mask(o, d, packed: PackedScene, ray_tile: int):
     enter = jnp.max(t_lo, axis=-1)
     exit_ = jnp.min(t_hi, axis=-1)
     hit_possible = (enter <= exit_) & (packed.block_live[None, :] > 0)
+    if tile_live is not None:
+        hit_possible &= tile_live[:, None]
     return hit_possible.astype(jnp.int32), enter
 
 
@@ -318,8 +356,8 @@ def plan_block_order(mask: jnp.ndarray, enter: jnp.ndarray):
 
 
 def _kernel_resident(
-    order_ref, enter_ref, feats_ref, w_ref, best_t_ref, best_i_ref, *, tb: int, nb: int,
-    precision: str = "highest",
+    order_ref, enter_ref, feats_ref, alive_ref, w_ref, best_t_ref, best_i_ref,
+    *, tb: int, nb: int, precision: str = "highest",
 ):
     """VMEM-resident variant: grid over ray tiles ONLY; the per-tile block
     schedule runs as an in-kernel ``while_loop`` with true early exit.
@@ -330,9 +368,15 @@ def _kernel_resident(
     no HBM re-streaming, and the loop STOPS at the early-exit point instead
     of predicating away the remaining grid steps — the wavefront analogue of
     the reference's per-thread serial loop (kernel.cu:133-156) at tile
-    granularity."""
+    granularity.
+
+    Dead lanes (``alive`` 0) start at best_t = -inf: they never update, the
+    early-exit bound ``max(best_t)`` ignores them, and a tile whose live
+    lanes have all resolved exits even while dead lanes "miss" forever —
+    the in-kernel half of mask-based compaction (see tile_block_mask)."""
     i = pl.program_id(0)
     feats = feats_ref[:]
+    lane_alive = alive_ref[0, 0, :] > 0
 
     def cond(state):
         j, _bt, _bi, worst = state
@@ -361,7 +405,7 @@ def _kernel_resident(
 
     init = (
         jnp.int32(0),
-        jnp.full((feats.shape[0],), BIG, jnp.float32),
+        jnp.where(lane_alive, BIG, -INF),
         jnp.full((feats.shape[0],), -1, jnp.int32),
         jnp.float32(INF),
     )
@@ -371,7 +415,7 @@ def _kernel_resident(
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret", "precision"))
-def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool, precision: str = "highest"):
+def _launch_resident(order, enter, feats, alive, w, ray_tile: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
@@ -383,6 +427,7 @@ def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool, pre
         in_specs=[
             pl.BlockSpec((1, 1, nb), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
             # Whole packed scene resident in VMEM; identical index every step
             # ⇒ fetched once by the pipeline.
             pl.BlockSpec((nb, K, five_tb), lambda i, order: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -405,7 +450,7 @@ def _launch_resident(order, enter, feats, w, ray_tile: int, interpret: bool, pre
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, enter[:, None, :], feats, w)
+    )(order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile), w)
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
@@ -438,7 +483,7 @@ def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
 
 
 def _kernel_streamed(
-    order_ref, enter_ref, feats_ref, w_hbm_ref, best_t_ref, best_i_ref,
+    order_ref, enter_ref, feats_ref, alive_ref, w_hbm_ref, best_t_ref, best_i_ref,
     scratch_ref, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
     precision: str = "highest",
 ):
@@ -452,9 +497,12 @@ def _kernel_streamed(
     fetched), so large scenes pay sublinear bandwidth for coherent tiles —
     the reference's O(pixels × tris) scaling (kernel.cu:133-156) broken at
     the memory system too, not just in FLOPs.
+
+    Dead-lane handling matches _kernel_resident: alive 0 ⇒ best_t = -inf.
     """
     i = pl.program_id(0)
     feats = feats_ref[:]
+    lane_alive = alive_ref[0, 0, :] > 0
 
     def get_dma(slot, j):
         c = order_ref[j, i]  # (nc, rt) layout
@@ -511,7 +559,7 @@ def _kernel_streamed(
 
     init = (
         jnp.int32(0),
-        jnp.full((feats.shape[0],), BIG, jnp.float32),
+        jnp.where(lane_alive, BIG, -INF),
         jnp.full((feats.shape[0],), -1, jnp.int32),
         jnp.float32(INF),
     )
@@ -528,7 +576,7 @@ def _kernel_streamed(
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
-def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
@@ -541,6 +589,7 @@ def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret:
         in_specs=[
             pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
             # Whole packed scene stays in HBM; clusters are DMA'd manually.
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -566,7 +615,7 @@ def _launch_streamed(order, enter, feats, w, ray_tile: int, bpc: int, interpret:
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, enter[:, None, :], feats, w)
+    )(order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile), w)
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
@@ -692,7 +741,8 @@ def intersect_pallas_occluded(
 
     The NEE shadow-ray fast path (resident scenes only — the caller falls
     back to closest-hit thresholding otherwise). ``max_t = 0`` marks lanes
-    that need no testing (dead/parked rays).
+    that need no testing (dead rays) — they are excluded from the tile
+    frustums and report unoccluded, so callers never need to park/permute.
     """
     r = o.shape[0]
     o = jax.lax.stop_gradient(o)
@@ -708,7 +758,7 @@ def intersect_pallas_occluded(
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         max_t = jnp.pad(max_t, (0, pad))
-    mask, enter = tile_block_mask(o, d, packed, ray_tile)
+    mask, enter = tile_block_mask(o, d, packed, ray_tile, alive=max_t > 0)
     order, enter_sorted = plan_block_order(mask, enter)
     occ = _launch_occlusion(
         order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w), ray_tile, interpret,
@@ -756,12 +806,17 @@ def intersect_pallas(
     ray_tile: int = DEFAULT_RAY_TILE,
     interpret: bool = False,
     precision: str = "highest",
+    alive: jnp.ndarray | None = None,
 ) -> Hit:
     """Closest hit of rays (R,3) against the packed scene. See module doc.
 
     Returned ``tri`` indices are original scene rows (tri_map applied), so
     downstream attribute resolution (ops/intersect.py::resolve_hits) is
     backend-agnostic.
+
+    ``alive`` (R,) bool: lanes marked dead are excluded from tile frustums
+    (tile_block_mask) and report no hit — mask-based wavefront compaction
+    with zero data movement (the integrator's default dead-lane strategy).
     """
     r = o.shape[0]
     o = jax.lax.stop_gradient(o)
@@ -785,22 +840,30 @@ def intersect_pallas(
         while sched.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
             ray_tile *= 2
     feats = pack_rays(o, d)
+    alive_i = (
+        jnp.ones((r,), jnp.int32)
+        if alive is None
+        else jax.lax.stop_gradient(alive).astype(jnp.int32)
+    )
     pad = (-r) % ray_tile
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    mask, enter = tile_block_mask(o, d, sched, ray_tile)
+        alive_i = jnp.pad(alive_i, (0, pad))
+    mask, enter = tile_block_mask(
+        o, d, sched, ray_tile, alive=None if alive is None and not pad else alive_i > 0
+    )
     order, enter_sorted = plan_block_order(mask, enter)
     if resident:
         best_t, best_i = _launch_resident(
-            order, enter_sorted, feats, jax.lax.stop_gradient(packed.w), ray_tile, interpret,
-            precision,
+            order, enter_sorted, feats, alive_i, jax.lax.stop_gradient(packed.w),
+            ray_tile, interpret, precision,
         )
     else:
         w_padded = jax.lax.stop_gradient(_pad_blocks(packed, bpc).w)
         best_t, best_i = _launch_streamed(
-            order, enter_sorted, feats, w_padded, ray_tile, bpc, interpret, precision
+            order, enter_sorted, feats, alive_i, w_padded, ray_tile, bpc, interpret, precision
         )
     best_t = best_t[:r]
     best_i = best_i[:r]

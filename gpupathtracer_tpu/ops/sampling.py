@@ -97,3 +97,109 @@ def pixel_sample_key(base_key, pixel_idx, sample_idx):
     """
     k = jax.random.fold_in(base_key, sample_idx)
     return jax.vmap(lambda p: jax.random.fold_in(k, p))(pixel_idx)
+
+
+# --- pluggable path samplers -------------------------------------------------
+#
+# The integrator draws its per-lane randomness through a three-function
+# sampler interface so the RNG engine is swappable without touching the
+# estimator: ``path_keys`` (per-(pixel, sample) state), ``fold`` (derive a
+# decorrelated stream), ``uniform`` (n floats in [0,1) per lane). Both engines
+# are counter-based and depend only on LOGICAL ids (seed, pixel, sample,
+# stream), never on array layout — the multi-host determinism contract.
+#
+# - "pcg": PCG4D hash (Jarzynski & Olano, "Hash Functions for GPU Rendering",
+#   JCGT 2020) — ~12 integer vector ops per 4 lanes of output, entirely on
+#   the VPU with no per-lane vmap. The TPU-first default: threefry's 20-round
+#   Feistel costs ~25 ms per 640k-lane fold+draw site on v5e where PCG4D is
+#   ~1 ms, and a frame has 3-5 such sites per bounce.
+# - "threefry": jax.random (threefry2x32) — the crypto-strength engine kept
+#   for A/B validation (tests compare estimator means across engines).
+
+
+def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
+    """PCG4D mixing function over uint32 lanes: (..., 4) -> (..., 4)."""
+    v = v * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x, y, z, w = (a ^ (a >> jnp.uint32(16)) for a in (x, y, z, w))
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return jnp.stack([x, y, z, w], axis=-1)
+
+
+_GOLDEN = jnp.uint32(0x9E3779B9)  # odd multiplier: fold chains stay injective
+
+
+def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    # Top 24 bits → [0, 1) with full float32 mantissa coverage.
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+class PcgSampler:
+    """Stateless counter-based sampler: state rows are (seed, pixel, sample,
+    stream) uint32 words; every draw is one PCG4D evaluation."""
+
+    @staticmethod
+    def path_keys(base_key, pixel_idx, sample_idx):
+        kd = base_key
+        if jnp.issubdtype(jnp.asarray(kd).dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(kd)
+        kd = jnp.asarray(kd).astype(jnp.uint32).reshape(-1)
+        seed = kd[-1] + kd[0] * jnp.uint32(2654435761)
+        r = pixel_idx.shape[0]
+        return jnp.stack(
+            [
+                jnp.broadcast_to(seed, (r,)),
+                pixel_idx.astype(jnp.uint32),
+                jnp.broadcast_to(jnp.uint32(sample_idx), (r,)),
+                jnp.zeros((r,), jnp.uint32),
+            ],
+            axis=-1,
+        )
+
+    @staticmethod
+    def fold(keys, c):
+        assert keys.shape[-1] == 4, f"pcg keys are (..., 4) uint32, got {keys.shape}"
+        stream = keys[..., 3] * _GOLDEN + jnp.asarray(c).astype(jnp.uint32)
+        return jnp.concatenate([keys[..., :3], stream[..., None]], axis=-1)
+
+    @staticmethod
+    def uniform(keys, n: int):
+        assert keys.shape[-1] == 4, f"pcg keys are (..., 4) uint32, got {keys.shape}"
+        assert 1 <= n <= 4, "one PCG4D draw yields at most 4 words"
+        return _uniform_from_bits(pcg4d(keys)[..., :n])
+
+
+class ThreefrySampler:
+    """jax.random engine behind the same interface (keys: (R,) PRNG keys)."""
+
+    path_keys = staticmethod(pixel_sample_key)
+
+    @staticmethod
+    def fold(keys, c):
+        return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c)
+
+    @staticmethod
+    def uniform(keys, n: int):
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
+
+
+SAMPLERS = {"pcg": PcgSampler, "threefry": ThreefrySampler}
+
+
+def make_sampler(impl: str):
+    try:
+        return SAMPLERS[impl]
+    except KeyError:
+        raise ValueError(f"unknown rng impl {impl!r}; expected one of {sorted(SAMPLERS)}")
+
+
+def path_keys(seed: int, ids: jnp.ndarray, sample_idx: int = 0, impl: str = "pcg"):
+    """Convenience: per-lane path keys for direct trace_paths callers/tests."""
+    return make_sampler(impl).path_keys(jax.random.PRNGKey(seed), ids, sample_idx)

@@ -156,11 +156,12 @@ def render_frame_pipelined(
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
 
+    sampler = sampling.make_sampler(settings.rng)
+
     def sample_step(film_sum, s):
-        keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
+        keys = sampler.path_keys(base_key, pixel_idx, s)
         if settings.jitter and settings.spp > 1:
-            aa_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0xA11A)
-            jitter_uv = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(aa_keys)
+            jitter_uv = sampler.uniform(sampler.fold(keys, 0xA11A), 2)
         else:
             jitter_uv = None
         o, d = generate_rays_for_pixels(camera, pixel_idx, jitter_uv)

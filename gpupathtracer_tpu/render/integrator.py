@@ -79,15 +79,32 @@ class IntegratorOptions:
     # culling already handled by dead-lane compaction) — default off;
     # enable for large scenes with long-lived incoherent wavefronts.
     sort_rays: bool = False
-    # Dead-lane compaction: permute rays alive-first per bounce and park dead
-    # lanes outside the scene so their tiles cull every block — wavefront
-    # compaction under static shapes (ops/compaction.py). Effective with the
-    # Pallas backend only (tile-level culling); auto-gated on it.
+    # Dead-lane compaction: make dead lanes (miss / emitter / roulette) cost
+    # ~nothing at the intersection kernel — wavefront compaction under static
+    # shapes. Effective with the Pallas backend only (tile-level culling);
+    # auto-gated on it.
     compact: bool = True
+    # How: "permute" (default, ops/compaction.py) alive-first-permutes rays
+    # and parks dead lanes outside the scene — costs ~36 ms of gathers/
+    # scatters per 640k-ray bounce on v5e but packs live lanes into the
+    # fewest possible tiles. "mask" passes the live mask into the kernel's
+    # frustum pre-pass instead (dead lanes excluded from tile bounds,
+    # best_t = -inf in-kernel): ZERO data movement, but live lanes stay
+    # spread across tiles and each partially-live tile pays the full block
+    # traversal — measured 2.22 s vs 1.83 s frame on config 3 (v5e), so it
+    # only wins when liveness is tile-coherent (e.g. progressive culling of
+    # finished pixel regions).
+    compact_mode: str = "permute"
     # MXU matmul precision in the Pallas kernels: "highest" (f32-exact,
     # default) or "high" (3-pass bf16, ~2x kernel rate, fp-boundary-only
     # hit flips — see ops/pallas_intersect.PRECISIONS).
     kernel_precision: str = "highest"
+    # Per-lane RNG engine (ops/sampling.py SAMPLERS): "pcg" (PCG4D hash —
+    # one VPU-wide integer mix per draw site, the TPU-first default) or
+    # "threefry" (jax.random; ~25 ms per 640k-lane draw site on v5e, kept
+    # for estimator A/B validation). Both are counter-based over logical
+    # (seed, pixel, sample, stream) ids — layout/shard-invariant.
+    rng: str = "pcg"
 
 
 def resolved_intersector(options: IntegratorOptions) -> str:
@@ -121,11 +138,17 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions, packed=N
         import jax as _jax
 
         if packed is None:
-            packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+            packed = pallas_intersect.pack_scene(
+                scene, tri_block=pallas_intersect.compiled_tri_block(options.tri_block)
+            )
         interpret = _jax.default_backend() != "tpu"
-        base = lambda o, d, _scene: pallas_intersect.intersect_pallas(
-            o, d, packed, interpret=interpret, precision=options.kernel_precision
+        base = lambda o, d, _scene, alive=None: pallas_intersect.intersect_pallas(
+            o, d, packed, interpret=interpret, precision=options.kernel_precision,
+            alive=alive,
         )
+        # Mask-based compaction: the integrator passes the live mask straight
+        # into the kernel's frustum pre-pass (see IntegratorOptions.compact_mode).
+        base.supports_alive = True
         if options.sort_rays and not options.compact:
             # With compaction on, coherence comes from the combined
             # compact+sort permutation (compact_rays_coherent) instead —
@@ -158,7 +181,9 @@ def make_occlusion_fn(
         from gpupathtracer_tpu.ops import pallas_intersect
 
         if packed is None:
-            packed = pallas_intersect.pack_scene(scene, tri_block=options.tri_block)
+            packed = pallas_intersect.pack_scene(
+                scene, tri_block=pallas_intersect.compiled_tri_block(options.tri_block)
+            )
         if packed.w.size * 4 <= pallas_intersect.RESIDENT_BUDGET_BYTES:
             interpret = _jax.default_backend() != "tpu"
             return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
@@ -232,6 +257,7 @@ def make_bounce_fn(
     custom_intersect = intersect_fn is not None
     if intersect_fn is None:
         intersect_fn = make_intersect_fn(scene, options, packed=packed)
+    sampler = sampling.make_sampler(options.rng)
     background = jnp.asarray(options.background, jnp.float32)
     mis = options.estimator == "mis"
     nee = options.estimator == "nee" or mis
@@ -254,13 +280,23 @@ def make_bounce_fn(
 
     do_compact = options.compact and resolved_intersector(options) == "pallas"
 
+    mask_compact = (
+        do_compact
+        and options.compact_mode == "mask"
+        and not options.sort_rays  # sort needs the physical permutation
+        and getattr(intersect_fn, "supports_alive", False)
+    )
+
     def masked_intersect(o, d, mask, compact_now=True) -> Hit:
         """Closest hit for lanes where mask holds; dead lanes are compacted
         away (tile-level cull) and report no hit. ``compact_now=False``
-        skips the partition+gathers — the first bounce is all-alive and
-        camera-coherent, so compaction is pure overhead there."""
+        skips the dead-lane machinery — the first bounce is all-alive and
+        camera-coherent, so it is pure overhead there."""
         if not (do_compact and compact_now):
             h = intersect_fn(o, d, scene)
+            return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
+        if mask_compact:
+            h = intersect_fn(o, d, scene, alive=mask)
             return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
         from gpupathtracer_tpu.ops.compaction import compact_rays, compact_rays_coherent
 
@@ -271,12 +307,14 @@ def make_bounce_fn(
 
     def masked_occluded(o, d, max_t, mask):
         """Shadow/visibility query: any accepted hit with t < max_t, for
-        lanes where mask holds (others report unoccluded)."""
+        lanes where mask holds (others report unoccluded). Dead lanes carry
+        max_t = 0 — the occlusion kernel excludes them from its frustums
+        directly, so mask mode needs no permutation here either."""
         mt = jnp.where(mask, max_t, 0.0)
         if occlude_fn is None:
             h = masked_intersect(o, d, mask)
             return h.hit & (h.t < max_t)
-        if not do_compact:
+        if not do_compact or mask_compact:
             return occlude_fn(o, d, mt) & mask
         from gpupathtracer_tpu.ops.compaction import DEAD_DIR, DEAD_ORIGIN, partition_alive
 
@@ -342,8 +380,8 @@ def make_bounce_fn(
         n_shade = n * jnp.where(facing == 0.0, 1.0, facing)
 
         # Per-bounce randomness: counter-based fold-in, layout-invariant.
-        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, bounce_idx)
-        u = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(kb)
+        kb = sampler.fold(keys, bounce_idx)
+        u = sampler.uniform(kb, 3)
 
         if nee:
             # Next-event estimation: sample a point on an emissive triangle
@@ -351,8 +389,8 @@ def make_bounce_fn(
             # throughput · (albedo/π) · Le · cosθ_x·cosθ_y / r² · A_total.
             # The cos·cos/r² geometry term is differentiable wrt vertices —
             # the path that makes inverse geometry (config 5) work.
-            kl = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 0x11EE)
-            ul = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(kl)
+            kl = sampler.fold(kb, 0x11EE)
+            ul = sampler.uniform(kl, 3)
             pick = jnp.searchsorted(light_cdf, ul[:, 0] * total_light_area, side="right")
             pick = jnp.clip(pick, 0, scene.num_triangles - 1).astype(jnp.int32)
             su = jnp.sqrt(ul[:, 1])
@@ -449,8 +487,8 @@ def make_bounce_fn(
             # Russian roulette on throughput luminance, deterministic per key.
             lum = jnp.max(new_throughput, axis=-1)
             p = jnp.clip(lum, 0.05, 1.0)
-            kr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 7919)
-            ur = jax.vmap(lambda k: jax.random.uniform(k, ()))(kr)
+            kr = sampler.fold(kb, 7919)
+            ur = sampler.uniform(kr, 1)[..., 0]
             do_rr = bounce_idx >= options.rr_start
             survive = ~do_rr | (ur < p)
             new_throughput = jnp.where(

@@ -43,7 +43,9 @@ class RenderSettings:
     # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
     sort_rays: bool = False
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
+    compact_mode: str = "permute"  # "permute" | "mask" (see IntegratorOptions)
     kernel_precision: str = "highest"  # MXU pass precision (see IntegratorOptions)
+    rng: str = "pcg"  # per-lane RNG engine: "pcg" | "threefry" (see IntegratorOptions)
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -58,7 +60,9 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         estimator=s.estimator,
         sort_rays=s.sort_rays,
         compact=s.compact,
+        compact_mode=s.compact_mode,
         kernel_precision=s.kernel_precision,
+        rng=s.rng,
     )
 
 
@@ -92,9 +96,9 @@ def render_frame(
     from gpupathtracer_tpu.render.integrator import resolved_intersector
 
     if concrete and resolved_intersector(_integrator_options(settings)) == "pallas":
-        from gpupathtracer_tpu.ops.pallas_intersect import pack_scene
+        from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 
-        packed = pack_scene(scene, tri_block=settings.tri_block)
+        packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
         return _render_frame_prepacked(scene, packed, camera, settings, seed)
     return _render_frame_core(scene, camera, settings, seed)
 
@@ -166,14 +170,14 @@ def accumulate_radiance(
     sample-exact checkpoint/resume.
     """
     opts = _integrator_options(settings)
+    sampler = sampling.make_sampler(settings.rng)
     r = pixel_idx.shape[0]
     n = settings.spp if num_samples is None else num_samples
 
     def sample_step(film_sum, s):
-        keys = sampling.pixel_sample_key(base_key, pixel_idx, s)
+        keys = sampler.path_keys(base_key, pixel_idx, s)
         if settings.jitter and settings.spp > 1:
-            aa_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0xA11A)
-            jitter_uv = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(aa_keys)
+            jitter_uv = sampler.uniform(sampler.fold(keys, 0xA11A), 2)
         else:
             jitter_uv = None
         o, d = generate_rays_for_pixels(camera, pixel_idx, jitter_uv)
@@ -208,9 +212,9 @@ def render_samples(
     if not isinstance(scene.v0, jax.core.Tracer) and (
         resolved_intersector(_integrator_options(settings)) == "pallas"
     ):
-        from gpupathtracer_tpu.ops.pallas_intersect import pack_scene
+        from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 
-        packed = pack_scene(scene, tri_block=settings.tri_block)
+        packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
     return _render_samples_core(
         scene, packed, camera, settings, sample_start, num_samples, seed
     )

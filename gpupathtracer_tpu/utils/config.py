@@ -134,7 +134,9 @@ def parse_config(cfg: dict, config_dir: str = "."):
         estimator=rnd.get("estimator", "naive"),
         sort_rays=bool(rnd.get("sort_rays", False)),
         compact=bool(rnd.get("compact", True)),
+        compact_mode=rnd.get("compact_mode", "permute"),
         kernel_precision=rnd.get("kernel_precision", "highest"),
+        rng=rnd.get("rng", "pcg"),
     )
     return specs, materials, camera, settings
 

@@ -113,10 +113,10 @@ def test_bvh_in_integrator():
     bvh = build_bvh(scene)
     o = jnp.asarray([[0.5, 0.5, 3.0]])
     d = jnp.asarray([[0.0, 0.0, -1.0]])
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-        jax.random.PRNGKey(0), jnp.arange(1, dtype=jnp.uint32)
-    )
+    from gpupathtracer_tpu.ops import sampling
+
     opts = IntegratorOptions(bounces=2, tri_block=8)
+    keys = sampling.path_keys(0, jnp.arange(1, dtype=jnp.uint32), impl=opts.rng)
     rad_ref = trace_paths(scene, o, d, keys, opts)
     rad_bvh = trace_paths(
         scene, o, d, keys, opts, intersect_fn=lambda oo, dd, s: intersect_bvh(oo, dd, s, bvh)

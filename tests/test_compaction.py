@@ -86,3 +86,52 @@ def test_render_invariant_under_compaction():
     img_on = np.asarray(render_frame(scene, cam, RenderSettings(**base, compact=True)))
     img_off = np.asarray(render_frame(scene, cam, RenderSettings(**base, compact=False)))
     np.testing.assert_array_equal(img_on, img_off)
+
+
+def test_mask_compaction_matches_oracle_and_permute():
+    """Mask-based compaction (alive → kernel frustum pre-pass): live lanes
+    match the brute oracle, dead lanes report no hit, and a full render is
+    identical across compact_mode="mask" / "permute" / compact=False."""
+    from gpupathtracer_tpu.ops import pallas_intersect as pi
+    from gpupathtracer_tpu.ops.intersect import intersect_brute
+
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/cube.obj", mat_id=0),
+            plane_spec((0.0, 0.0, -2.0), (0, 0, 0), (6, 6, 6), mat_id=1),
+        ],
+        [
+            {"type": "diffuse", "albedo": (0.7, 0.3, 0.2)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ],
+        pad_to_multiple=128,
+    )
+    packed = pi.pack_scene(scene, tri_block=128)
+    cam = Camera.create(position=(0.0, 0.0, 5.0), width=32, height=32)
+    from gpupathtracer_tpu.models.camera import generate_rays
+
+    o, d = generate_rays(cam)
+    rng = np.random.default_rng(5)
+    alive = jnp.asarray(rng.random(o.shape[0]) < 0.35)
+
+    h_ref = intersect_brute(o, d, scene, tri_block=128)
+    h = pi.intersect_pallas(o, d, packed, interpret=True, alive=alive)
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(h.tri)[a], np.asarray(h_ref.tri)[a])
+    assert (~np.asarray(h.hit)[~a]).all()
+    assert (np.asarray(h.tri)[~a] == -1).all()
+
+    base = dict(
+        width=32, height=32, spp=2, bounces=3, tri_block=128,
+        intersector="pallas", estimator="nee",
+    )
+    imgs = [
+        np.asarray(render_frame(scene, cam, RenderSettings(**base, **kw)))
+        for kw in (
+            dict(compact=True, compact_mode="mask"),
+            dict(compact=True, compact_mode="permute"),
+            dict(compact=False),
+        )
+    ]
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])

@@ -16,10 +16,11 @@ RED = {"type": "diffuse", "albedo": (1.0, 0.0, 0.0)}
 
 
 def _trace(scene, o, d, bounces=1, seed=0, **kw):
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-        jax.random.PRNGKey(seed), jnp.arange(o.shape[0], dtype=jnp.uint32)
-    )
-    return np.asarray(trace_paths(scene, o, d, keys, IntegratorOptions(bounces=bounces, tri_block=8, **kw)))
+    from gpupathtracer_tpu.ops import sampling
+
+    opts = IntegratorOptions(bounces=bounces, tri_block=8, **kw)
+    keys = sampling.path_keys(seed, jnp.arange(o.shape[0], dtype=jnp.uint32), impl=opts.rng)
+    return np.asarray(trace_paths(scene, o, d, keys, opts))
 
 
 def test_direct_emitter_hit_exact():
