@@ -101,6 +101,9 @@ def make_kernel(variant: str):
 
 
 def main():
+    from gpupathtracer_tpu.utils.debug import enable_compile_cache
+
+    enable_compile_cache()
     scene = build_scene(
         [mesh_spec("/root/reference/sceneResources/wahoo.obj")],
         [{"type": "diffuse"}],
@@ -133,7 +136,9 @@ def main():
                 oo = o + jnp.float32(i) * 1e-6
                 return float(_wit(pi.intersect_pallas(oo, d, packed, interpret=interpret)))
 
+            t0 = time.perf_counter()
             step(0)
+            print(f"{variant} {name}: compiled in {time.perf_counter() - t0:.0f}s", flush=True)
             ts = []
             for i in range(3):
                 t0 = time.perf_counter()
