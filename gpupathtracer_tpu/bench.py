@@ -213,8 +213,11 @@ def run_benchmark(
 
     if backward:
         result["fwd_bwd"] = _bench_backward(scene, camera, settings, iters)
-        # The opt-in fast-math knob on the same workload (kernel_precision=
-        # "high": manual 3-pass bf16 dots; 99.997% hit agreement on chip).
+        # Precision ladder on the same workload. Default ("auto") resolves to
+        # "mixed" on TPU (edge signs 3-pass bf16, t f32-exact; 0.99998 hit
+        # agreement); "highest" = f32-exact everywhere; "high" = all 3-pass.
+        st_exact = dataclasses.replace(settings, kernel_precision="highest")
+        result["fwd_exact_precision"] = _bench_frame(scene, camera, st_exact, iters)
         st_high = dataclasses.replace(settings, kernel_precision="high")
         result["fwd_high_precision"] = _bench_frame(scene, camera, st_high, iters)
 

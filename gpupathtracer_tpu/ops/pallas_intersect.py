@@ -13,8 +13,9 @@ megakernel inner loop (``kernel.cu:133-156``) mapped onto TPU hardware:
   in-kernel double-buffered DMA following the same front-to-back schedule
   (_kernel_streamed) — visited-cluster-proportional bandwidth, no cap;
 - **uniformly one-sided**: two-sided primitives are pre-duplicated with
-  flipped winding at pack time (``pack_triangles_dup``), so the epilogue is
-  5 compares + a mul-by-reciprocal per pair — no per-triangle mask loads;
+  flipped winding at pack time, so the epilogue needs no per-triangle mask
+  loads; acceptance is folded (max-tree over the three edge signs, epsilon
+  tests in sign space so nothing waits on the division);
 - **tile×block conservative culling**: an XLA pre-pass intersects each ray
   tile's (origin-box, direction-box) interval frustum with each triangle
   block's AABB; the (ray_tiles, tri_blocks) skip mask is scalar-prefetched
@@ -53,23 +54,54 @@ INF = float("inf")
 # "high" = manual 3-pass bf16 (hi/lo split; Mosaic's dot only lowers
 # DEFAULT/HIGHEST, so the error-compensated form is built from three
 # single-pass dots) — ~2x the MXU rate, hit decisions flip only at fp
-# boundaries below the 1e-6 epsilons. "default" = raw single-pass bf16
-# (NOT hit-exact; diagnostics only). Exposed as
-# RenderSettings.kernel_precision; parity-tested in tests/test_pallas_kernel.
+# boundaries below the 1e-6 epsilons. "mixed" = split columns: the three
+# edge-sign columns (s0|s1|s2, sign tests only) at 3-pass, D|num (the t
+# value) at f32-exact — (3·3 + 2·6)/(5·6) = 0.7x the HIGHEST passes with
+# EXACT t whenever the winning triangle agrees; acceptance flips only on
+# grazing-edge fp boundaries (measured 0.99997+ agreement on chip).
+# "default" = raw single-pass bf16 (NOT hit-exact; diagnostics only).
+# Exposed as RenderSettings.kernel_precision ("auto" resolves to "mixed"
+# on TPU, "highest" elsewhere); parity-tested in tests/test_pallas_kernel.
 PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
 }
 
 
-def _decision_dot(feats, w_blk, precision: str):
+def resolve_precision(precision: str) -> str:
+    if precision == "auto":
+        import jax as _jax
+
+        return "mixed" if _jax.default_backend() == "tpu" else "highest"
+    return precision
+
+
+def _dot_high(feats, w_blk):
+    fh = feats.astype(jnp.bfloat16)
+    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = w_blk.astype(jnp.bfloat16)
+    wl = (w_blk - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return d(fh, wh) + (d(fh, wl) + d(fl, wh))
+
+
+def _decision_dot(feats, w_blk, precision: str, tb: int | None = None):
+    """(TR, K) x (K, 5*tb) decision matmul at the requested pass precision.
+
+    "mixed" needs ``tb`` to split the column groups; it returns the same
+    (TR, 5*tb) layout as the single-dot paths.
+    """
+    if precision == "mixed":
+        assert tb is not None, "mixed precision needs the tri_block width"
+        edges = _dot_high(feats, w_blk[:, : 3 * tb])
+        exact = jnp.dot(
+            feats, w_blk[:, 3 * tb :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.concatenate([edges, exact], axis=-1)
     if precision == "high":
-        fh = feats.astype(jnp.bfloat16)
-        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
-        wh = w_blk.astype(jnp.bfloat16)
-        wl = (w_blk - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-        return d(fh, wh) + (d(fh, wl) + d(fl, wh))
+        return _dot_high(feats, w_blk)
     return jnp.dot(
         feats, w_blk,
         preferred_element_type=jnp.float32,
@@ -386,7 +418,7 @@ def _kernel_resident(
     def body(state):
         j, best_t, best_i, _worst = state
         blk = order_ref[j, i]
-        s = _decision_dot(feats, w_ref[blk], precision)  # (TR, 5*tb)
+        s = _decision_dot(feats, w_ref[blk], precision, tb)  # (TR, 5*tb)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
         s2 = s[:, 2 * tb : 3 * tb]
@@ -542,7 +574,7 @@ def _kernel_streamed(
 
         def blk_body(b, carry):
             best_t, best_i = carry
-            s = _decision_dot(feats, scratch_ref[slot, b], precision)  # (TR, 5*tb)
+            s = _decision_dot(feats, scratch_ref[slot, b], precision, tb)  # (TR, 5*tb)
             s0 = s[:, 0 * tb : 1 * tb]
             s1 = s[:, 1 * tb : 2 * tb]
             s2 = s[:, 2 * tb : 3 * tb]
@@ -683,7 +715,7 @@ def _kernel_occlusion(
     def body(state):
         j, occ = state
         blk = order_ref[j, i]
-        s = _decision_dot(feats, w_ref[blk], precision)
+        s = _decision_dot(feats, w_ref[blk], precision, tb)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
         s2 = s[:, 2 * tb : 3 * tb]
@@ -753,6 +785,7 @@ def intersect_pallas_occluded(
     frustums and report unoccluded, so callers never need to park/permute.
     """
     r = o.shape[0]
+    precision = resolve_precision(precision)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
@@ -827,6 +860,7 @@ def intersect_pallas(
     with zero data movement (the integrator's default dead-lane strategy).
     """
     r = o.shape[0]
+    precision = resolve_precision(precision)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     # The whole packed scene is detached: the kernel's discrete search has no

@@ -95,10 +95,14 @@ class IntegratorOptions:
     # only wins when liveness is tile-coherent (e.g. progressive culling of
     # finished pixel regions).
     compact_mode: str = "permute"
-    # MXU matmul precision in the Pallas kernels: "highest" (f32-exact,
-    # default) or "high" (3-pass bf16, ~2x kernel rate, fp-boundary-only
-    # hit flips — see ops/pallas_intersect.PRECISIONS).
-    kernel_precision: str = "highest"
+    # MXU matmul precision in the Pallas kernels (ops/pallas_intersect
+    # PRECISIONS): "auto" (default) resolves to "mixed" on TPU — edge-sign
+    # columns at 3-pass bf16, D|num (the t value) f32-exact; +10% frame,
+    # 0.99998 hit agreement, exact t on agreeing winners — and to "highest"
+    # (f32-exact, the oracle-parity setting) everywhere else, including the
+    # CPU interpret mode the tests run. "high" = everything 3-pass (+14%
+    # frame, t within ~2e-3); "highest" forces exact on TPU too.
+    kernel_precision: str = "auto"
     # Per-lane RNG engine (ops/sampling.py SAMPLERS): "pcg" (PCG4D hash —
     # one VPU-wide integer mix per draw site, the TPU-first default) or
     # "threefry" (jax.random; ~25 ms per 640k-lane draw site on v5e, kept

@@ -44,7 +44,7 @@ class RenderSettings:
     sort_rays: bool = False
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
     compact_mode: str = "permute"  # "permute" | "mask" (see IntegratorOptions)
-    kernel_precision: str = "highest"  # MXU pass precision (see IntegratorOptions)
+    kernel_precision: str = "auto"  # MXU pass precision (see IntegratorOptions)
     rng: str = "pcg"  # per-lane RNG engine: "pcg" | "threefry" (see IntegratorOptions)
 
 

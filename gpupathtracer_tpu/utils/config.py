@@ -135,7 +135,7 @@ def parse_config(cfg: dict, config_dir: str = "."):
         sort_rays=bool(rnd.get("sort_rays", False)),
         compact=bool(rnd.get("compact", True)),
         compact_mode=rnd.get("compact_mode", "permute"),
-        kernel_precision=rnd.get("kernel_precision", "highest"),
+        kernel_precision=rnd.get("kernel_precision", "auto"),
         rng=rnd.get("rng", "pcg"),
     )
     return specs, materials, camera, settings

@@ -160,3 +160,29 @@ def test_high_precision_mode_near_parity():
     np.testing.assert_allclose(
         np.asarray(h_fast.t)[same], np.asarray(h_exact.t)[same], rtol=1e-2, atol=1e-2
     )
+
+
+def test_mixed_precision_mode_exact_t_near_parity():
+    """kernel_precision="mixed" (edge columns at 3-pass bf16, D|num f32-exact)
+    agrees with the exact mode on essentially all hits, and — unlike "high" —
+    returns EXACTLY the f32 t wherever the winning triangle agrees."""
+    scene, o, d = random_scene(seed=12)
+    packed = pack_scene(scene, tri_block=128)
+    h_exact = intersect_pallas(o, d, packed, ray_tile=256, interpret=True)
+    h_mixed = intersect_pallas(
+        o, d, packed, ray_tile=256, interpret=True, precision="mixed"
+    )
+    agree = np.asarray(h_mixed.tri) == np.asarray(h_exact.tri)
+    assert agree.mean() > 0.995
+    same = agree & np.asarray(h_exact.hit)
+    np.testing.assert_array_equal(
+        np.asarray(h_mixed.t)[same], np.asarray(h_exact.t)[same]
+    )
+
+
+def test_auto_precision_resolves_by_backend():
+    from gpupathtracer_tpu.ops.pallas_intersect import resolve_precision
+
+    # Tests run on CPU (conftest): auto must resolve to the exact mode.
+    assert resolve_precision("auto") == "highest"
+    assert resolve_precision("mixed") == "mixed"
