@@ -158,11 +158,20 @@ class HitAttributes:
     geom_id: jnp.ndarray  # (R,) int32
 
 
-def resolve_hits(o, d, scene: TriangleScene, tri: jnp.ndarray) -> HitAttributes:
+def resolve_hits(
+    o, d, scene: TriangleScene, tri: jnp.ndarray,
+    need_sn: bool = True, need_uv: bool = True,
+) -> HitAttributes:
     """Recompute hit attributes differentiably for gathered triangles.
 
     ``tri`` is clamped for gathers; callers must mask with the hit flag.
     Gradient flows to scene vertices/normals and to ray origin/direction.
+
+    ``need_sn`` / ``need_uv`` (static): skip the shading-normal / UV gathers
+    and interpolation when the caller doesn't consume them — per-bounce this
+    saves ~15 gathered floats per ray plus a normalize (the integrator's
+    default path shades with geometric normals, kernel.cu:183 parity, and
+    nothing consumes UVs yet). Skipped fields are None.
     """
     idx = jnp.maximum(tri, 0)
     v0 = scene.v0[idx]
@@ -192,10 +201,14 @@ def resolve_hits(o, d, scene: TriangleScene, tri: jnp.ndarray) -> HitAttributes:
 
     gn = safe_normalize(jnp.cross(e1, e2))
     w = 1.0 - u - v
-    sn = safe_normalize(
-        w[:, None] * scene.n0[idx] + u[:, None] * scene.n1[idx] + v[:, None] * scene.n2[idx]
-    )
-    uv = w[:, None] * scene.uv0[idx] + u[:, None] * scene.uv1[idx] + v[:, None] * scene.uv2[idx]
+    sn = None
+    if need_sn:
+        sn = safe_normalize(
+            w[:, None] * scene.n0[idx] + u[:, None] * scene.n1[idx] + v[:, None] * scene.n2[idx]
+        )
+    uv = None
+    if need_uv:
+        uv = w[:, None] * scene.uv0[idx] + u[:, None] * scene.uv1[idx] + v[:, None] * scene.uv2[idx]
     return HitAttributes(
         t=t,
         point=point,

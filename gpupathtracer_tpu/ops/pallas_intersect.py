@@ -181,7 +181,14 @@ def pack_scene(scene: TriangleScene, tri_block: int = 512) -> PackedScene:
     rows, minimizing the kernel grid. Under tracing, shapes must be static,
     so a full flipped copy is appended and dead blocks are skipped at run
     time via ``block_live`` + the cull mask.
+
+    On a TPU backend ``tri_block`` is clamped to MIN_COMPILED_TRI_BLOCK
+    here (not just in the integrator pack paths): narrower blocks fail
+    Mosaic compilation ('scf.yield' legalization), and direct
+    pack_scene+intersect_pallas callers should not have to remember
+    compiled_tri_block themselves.
     """
+    tri_block = compiled_tri_block(tri_block)
     import jax.core as jcore
 
     concrete = not any(
@@ -427,11 +434,12 @@ def _kernel_resident(
         # Folded acceptance (−22% kernel on v5e vs the naive 4-cmp/3-and +
         # post-div test, tools/epilogue_ab.py): the three edge signs collapse
         # through a max tree, and t > EPSILON is tested in sign space —
-        # dd ≤ −EPS ⇒ (num/dd > EPS ⇔ num ≤ EPS·dd) — so the acceptance
+        # dd ≤ −EPS < 0 ⇒ (num/dd > EPS ⇔ num < EPS·dd, strict: dividing by
+        # a negative flips the inequality) — so the acceptance
         # never waits on the division. Exactly the reference's semantics
         # (kernel.cu:48-59 culls, kernel.cu:97 epsilon).
         edge = jnp.maximum(jnp.maximum(s0, s1), s2)
-        ok = (edge <= 0.0) & (dd <= -EPSILON) & (num <= EPSILON * dd)
+        ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
         t = jnp.where(ok, num / dd, BIG)
         blk_min = jnp.min(t, axis=-1)
         blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
@@ -542,9 +550,16 @@ def _kernel_streamed(
     lane_alive = alive_ref[0, 0, :] > 0
 
     def get_dma(slot, j):
+        # Scratch is (2*bpc, K, 5tb) — slot s occupies rows [s*bpc, (s+1)*bpc).
+        # Rank-3 with a single dynamic leading index: the rank-4 form
+        # scratch[slot, b] with two dynamic indices crashes the Mosaic
+        # layout pass ("arr.size() >= layout_rank" check in layout.h) for
+        # bpc > 1 — hit on chip by any >16 MB scene with many ray tiles.
         c = order_ref[j, i]  # (nc, rt) layout
         return pltpu.make_async_copy(
-            w_hbm_ref.at[pl.ds(c * bpc, bpc)], scratch_ref.at[slot], sem_ref.at[slot]
+            w_hbm_ref.at[pl.ds(c * bpc, bpc)],
+            scratch_ref.at[pl.ds(slot * bpc, bpc)],
+            sem_ref.at[slot],
         )
 
     first_scheduled = enter_ref[0, 0, 0] < INF
@@ -574,7 +589,7 @@ def _kernel_streamed(
 
         def blk_body(b, carry):
             best_t, best_i = carry
-            s = _decision_dot(feats, scratch_ref[slot, b], precision, tb)  # (TR, 5*tb)
+            s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)  # (TR, 5*tb)
             s0 = s[:, 0 * tb : 1 * tb]
             s1 = s[:, 1 * tb : 2 * tb]
             s2 = s[:, 2 * tb : 3 * tb]
@@ -582,7 +597,7 @@ def _kernel_streamed(
             num = s[:, 4 * tb : 5 * tb]
             # Folded acceptance — see _kernel_resident (t > EPS in sign space).
             edge = jnp.maximum(jnp.maximum(s0, s1), s2)
-            ok = (edge <= 0.0) & (dd <= -EPSILON) & (num <= EPSILON * dd)
+            ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
             t = jnp.where(ok, num / dd, BIG)
             blk_min = jnp.min(t, axis=-1)
             blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + (c * bpc + b) * tb
@@ -591,7 +606,13 @@ def _kernel_streamed(
             best_i = jnp.where(upd & (blk_min < BIG), blk_arg, best_i)
             return (best_t, best_i)
 
-        best_t, best_i = jax.lax.fori_loop(0, bpc, blk_body, (best_t, best_i))
+        # Statically unrolled over the cluster's blocks: a lax.fori_loop here
+        # (nested inside the while_loop) trips the same Mosaic layout-pass
+        # crash as the rank-4 scratch indexing; bpc is a small static int.
+        carry = (best_t, best_i)
+        for b in range(bpc):
+            carry = blk_body(b, carry)
+        best_t, best_i = carry
         return (j + 1, best_t, best_i, jnp.max(best_t))
 
     init = (
@@ -635,7 +656,7 @@ def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, int
             pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bpc, K, five_tb), jnp.float32),
+            pltpu.VMEM((2 * bpc, K, five_tb), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -707,9 +728,13 @@ def _kernel_occlusion(
     feats = feats_ref[:]
     maxt = maxt_ref[0, 0, :]  # (TR,) per-ray cutoff; 0 ⇒ lane never needs testing
 
+    # The occluded mask is carried as int32, not bool: Mosaic cannot
+    # legalize wide i1 vector carries through scf.while ('scf.yield'
+    # legalization failure on chip — same bug class as the narrow-tri_block
+    # carries, MIN_COMPILED_TRI_BLOCK above).
     def cond(state):
         j, occ = state
-        bound = jnp.max(jnp.where(occ, -INF, maxt))
+        bound = jnp.max(jnp.where(occ > 0, -INF, maxt))
         return (j < nb) & (enter_ref[0, 0, j] < bound)
 
     def body(state):
@@ -722,16 +747,17 @@ def _kernel_occlusion(
         dd = s[:, 3 * tb : 4 * tb]
         num = s[:, 4 * tb : 5 * tb]
         # Division-free: with dd ≤ −EPS < 0, t = num/dd ∈ (EPSILON, max_t)
-        # ⇔ num ≤ EPSILON·dd (t > EPS) ∧ num > max_t·dd (t < max_t) — the
-        # any-hit query never materializes t at all.
+        # ⇔ num < EPSILON·dd (t > EPS) ∧ num > max_t·dd (t < max_t) — strict
+        # both sides (dividing by a negative flips them); the any-hit query
+        # never materializes t at all.
         edge = jnp.maximum(jnp.maximum(s0, s1), s2)
-        ok = (edge <= 0.0) & (dd <= -EPSILON) & (num <= EPSILON * dd)
+        ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
         blocked = ok & (num > maxt[:, None] * dd)
-        return (j + 1, occ | jnp.any(blocked, axis=-1))
+        return (j + 1, occ | jnp.any(blocked, axis=-1).astype(jnp.int32))
 
-    init = (jnp.int32(0), jnp.zeros((feats.shape[0],), jnp.bool_))
+    init = (jnp.int32(0), jnp.zeros((feats.shape[0],), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
-    occ_ref[0, 0, :] = occ.astype(jnp.int32)
+    occ_ref[0, 0, :] = occ
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret", "precision"))

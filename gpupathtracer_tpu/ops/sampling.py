@@ -108,6 +108,14 @@ def pixel_sample_key(base_key, pixel_idx, sample_idx):
 # are counter-based and depend only on LOGICAL ids (seed, pixel, sample,
 # stream), never on array layout — the multi-host determinism contract.
 #
+# KEY DISCIPLINE (same as jax.random's): keys are single-use. Every
+# ``uniform`` call site must first derive a fresh stream with ``fold(keys,
+# site_constant)`` — calling ``uniform`` twice on the SAME key returns the
+# SAME values for BOTH engines (one deterministic evaluation per key; for
+# pcg that is one PCG4D mix, for threefry one counter block). There is no
+# hidden draw counter, by design: statelessness is what makes sample
+# sequences layout/shard/replay-invariant.
+#
 # - "pcg": PCG4D hash (Jarzynski & Olano, "Hash Functions for GPU Rendering",
 #   JCGT 2020) — ~12 integer vector ops per 4 lanes of output, entirely on
 #   the VPU with no per-lane vmap. The TPU-first default: threefry's 20-round
@@ -171,6 +179,9 @@ class PcgSampler:
 
     @staticmethod
     def uniform(keys, n: int):
+        """n ≤ 4 floats in [0,1) per lane — ONE PCG4D eval of the key.
+        Single-use keys: fold a fresh stream before every call (see the
+        KEY DISCIPLINE note above); repeated calls on one key repeat."""
         assert keys.shape[-1] == 4, f"pcg keys are (..., 4) uint32, got {keys.shape}"
         assert 1 <= n <= 4, "one PCG4D draw yields at most 4 words"
         return _uniform_from_bits(pcg4d(keys)[..., :n])

@@ -196,22 +196,48 @@ def make_occlusion_fn(
             )
 
     def fallback(o, d, mt):
-        h = intersect_fn(o, d, scene)
+        # Thresholded closest hit. Lanes with mt = 0 need no testing — pass
+        # them as dead to backends that support the alive mask (the Pallas
+        # kernel's zero-copy tile cull), so mask-mode compaction keeps its
+        # win on streamed (non-resident) scenes too.
+        if getattr(intersect_fn, "supports_alive", False):
+            h = intersect_fn(o, d, scene, alive=mt > 0)
+        else:
+            h = intersect_fn(o, d, scene)
         return h.hit & (h.t < mt)
 
     return fallback
 
 
 def _gather_materials(scene: TriangleScene, mat_id):
+    """Per-ray material attributes via ONE row gather.
+
+    The material table is tiny (a handful of rows); packing its 15 scalars
+    into one (M, 15) matrix turns seven separate 640k-lane gathers per
+    bounce into a single row gather plus free slicing.
+    """
     m = scene.materials
+    table = jnp.concatenate(
+        [
+            m.type.astype(jnp.float32)[:, None],
+            m.albedo,
+            m.specular_color,
+            m.refractive_index[:, None],
+            m.emissive_color,
+            m.intensity[:, None],
+            m.transmittance_color,
+        ],
+        axis=-1,
+    )  # (M, 15)
+    g = table[mat_id]  # (R, 15)
     return {
-        "type": m.type[mat_id],
-        "albedo": m.albedo[mat_id],
-        "specular": m.specular_color[mat_id],
-        "ior": m.refractive_index[mat_id],
-        "emissive": m.emissive_color[mat_id],
-        "intensity": m.intensity[mat_id],
-        "transmittance": m.transmittance_color[mat_id],
+        "type": g[:, 0].astype(jnp.int32),
+        "albedo": g[:, 1:4],
+        "specular": g[:, 4:7],
+        "ior": g[:, 7],
+        "emissive": g[:, 8:11],
+        "intensity": g[:, 11],
+        "transmittance": g[:, 12:15],
     }
 
 
@@ -332,7 +358,10 @@ def make_bounce_fn(
     def bounce(state, bounce_idx, compact_now=True):
         o, d, throughput, radiance, alive, prev_nee, prev_pdf, keys = state
         hit: Hit = masked_intersect(o, d, alive, compact_now)
-        attrs = resolve_hits(o, d, scene, hit.tri)
+        attrs = resolve_hits(
+            o, d, scene, hit.tri,
+            need_sn=options.use_shading_normals, need_uv=False,
+        )
         found = alive & hit.hit
         missed = alive & ~hit.hit
 
