@@ -528,9 +528,9 @@ def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
 
 
 def _kernel_streamed(
-    order_ref, enter_ref, feats_ref, alive_ref, w_hbm_ref, best_t_ref, best_i_ref,
-    scratch_ref, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
-    precision: str = "highest",
+    order_ref, enter_ref, feats_ref, alive_ref, blkmask_ref, w_hbm_ref,
+    best_t_ref, best_i_ref, scratch_ref, bt_s, bi_s, sem_ref,
+    *, tb: int, nb: int, nc: int, bpc: int, precision: str = "highest",
 ):
     """Streaming variant for scenes beyond the VMEM budget: grid over ray
     tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
@@ -542,6 +542,14 @@ def _kernel_streamed(
     fetched), so large scenes pay sublinear bandwidth for coherent tiles —
     the reference's O(pixels × tris) scaling (kernel.cu:133-156) broken at
     the memory system too, not just in FLOPs.
+
+    Within a DMA'd cluster, per-(tile, BLOCK) culling still applies: the
+    frustum pre-pass packs its block-granular skip mask into bit words
+    (32 blocks/word, streamed to SMEM per tile), and blocks whose bit is 0
+    skip the matmul+epilogue entirely under ``@pl.when`` — the cluster
+    schedule bounds DMA traffic, the bitmask bounds compute. The running
+    (best_t, best_i) lives in VMEM scratch so the conditional update is a
+    plain stateful write (no wide vector carried through scf.if).
 
     Dead-lane handling matches _kernel_resident: alive 0 ⇒ best_t = -inf.
     """
@@ -562,6 +570,9 @@ def _kernel_streamed(
             sem_ref.at[slot],
         )
 
+    bt_s[:] = jnp.where(lane_alive, BIG, -INF)
+    bi_s[:] = jnp.full((feats.shape[0],), -1, jnp.int32)
+
     first_scheduled = enter_ref[0, 0, 0] < INF
 
     @pl.when(first_scheduled)
@@ -569,11 +580,11 @@ def _kernel_streamed(
         get_dma(0, 0).start()
 
     def cond(state):
-        j, _bt, _bi, worst = state
+        j, worst = state
         return (j < nc) & (enter_ref[0, 0, j] < worst)
 
     def body(state):
-        j, best_t, best_i, _worst = state
+        j, _worst = state
         slot = jax.lax.rem(j, 2)
 
         # Prefetch the next scheduled cluster while this one is in flight.
@@ -587,41 +598,36 @@ def _kernel_streamed(
         get_dma(slot, j).wait()
         c = order_ref[j, i]
 
-        def blk_body(b, carry):
-            best_t, best_i = carry
-            s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)  # (TR, 5*tb)
-            s0 = s[:, 0 * tb : 1 * tb]
-            s1 = s[:, 1 * tb : 2 * tb]
-            s2 = s[:, 2 * tb : 3 * tb]
-            dd = s[:, 3 * tb : 4 * tb]
-            num = s[:, 4 * tb : 5 * tb]
-            # Folded acceptance — see _kernel_resident (t > EPS in sign space).
-            edge = jnp.maximum(jnp.maximum(s0, s1), s2)
-            ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
-            t = jnp.where(ok, num / dd, BIG)
-            blk_min = jnp.min(t, axis=-1)
-            blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + (c * bpc + b) * tb
-            upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
-            best_t = jnp.where(upd, blk_min, best_t)
-            best_i = jnp.where(upd & (blk_min < BIG), blk_arg, best_i)
-            return (best_t, best_i)
-
-        # Statically unrolled over the cluster's blocks: a lax.fori_loop here
-        # (nested inside the while_loop) trips the same Mosaic layout-pass
-        # crash as the rank-4 scratch indexing; bpc is a small static int.
-        carry = (best_t, best_i)
+        # Statically unrolled over the cluster's blocks (a lax.fori_loop
+        # nested in the while_loop trips a Mosaic layout-pass crash, like
+        # the rank-4 scratch indexing; bpc is a small static int).
         for b in range(bpc):
-            carry = blk_body(b, carry)
-        best_t, best_i = carry
-        return (j + 1, best_t, best_i, jnp.max(best_t))
+            blk = c * bpc + b
+            word = blkmask_ref[0, 0, jax.lax.shift_right_logical(blk, 5)]
+            bit = jax.lax.shift_right_logical(word, jax.lax.rem(blk, 32)) & 1
 
-    init = (
-        jnp.int32(0),
-        jnp.where(lane_alive, BIG, -INF),
-        jnp.full((feats.shape[0],), -1, jnp.int32),
-        jnp.float32(INF),
-    )
-    j_end, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+            @pl.when(bit != 0)
+            def _(b=b, blk=blk, slot=slot):
+                s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)
+                s0 = s[:, 0 * tb : 1 * tb]
+                s1 = s[:, 1 * tb : 2 * tb]
+                s2 = s[:, 2 * tb : 3 * tb]
+                dd = s[:, 3 * tb : 4 * tb]
+                num = s[:, 4 * tb : 5 * tb]
+                # Folded acceptance — see _kernel_resident (t > EPS in sign space).
+                edge = jnp.maximum(jnp.maximum(s0, s1), s2)
+                ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
+                t = jnp.where(ok, num / dd, BIG)
+                blk_min = jnp.min(t, axis=-1)
+                blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
+                best_t = bt_s[:]
+                upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
+                bt_s[:] = jnp.where(upd, blk_min, best_t)
+                bi_s[:] = jnp.where(upd & (blk_min < BIG), blk_arg, bi_s[:])
+
+        return (j + 1, jnp.max(bt_s[:]))
+
+    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)))
 
     # Drain: on early exit the body may have started the DMA for cluster
     # j_end without waiting it (warm-up covers j_end = 0).
@@ -629,17 +635,18 @@ def _kernel_streamed(
     def _():
         get_dma(jax.lax.rem(j_end, 2), j_end).wait()
 
-    best_t_ref[0, 0, :] = best_t
-    best_i_ref[0, 0, :] = best_i
+    best_t_ref[0, 0, :] = bt_s[:]
+    best_i_ref[0, 0, :] = bi_s[:]
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
-def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
     nc = nb // bpc  # caller pads w to a bpc multiple
+    nbw = blkmask.shape[-1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -648,6 +655,8 @@ def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, int
             pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            # Per-tile block-granular cull bits (32 blocks per int32 word).
+            pl.BlockSpec((1, 1, nbw), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
             # Whole packed scene stays in HBM; clusters are DMA'd manually.
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -657,6 +666,8 @@ def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, int
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * bpc, K, five_tb), jnp.float32),
+            pltpu.VMEM((ray_tile,), jnp.float32),
+            pltpu.VMEM((ray_tile,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -673,27 +684,23 @@ def _launch_streamed(order, enter, feats, alive, w, ray_tile: int, bpc: int, int
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile), w)
+    )(
+        order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile),
+        blkmask[:, None, :], w,
+    )
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
-def _cluster_boxes(packed: PackedScene, bpc: int):
-    """Union block AABBs into cluster AABBs (consecutive Morton-ordered
-    blocks ⇒ clusters stay spatially tight); empty blocks don't inflate."""
-    nb = packed.num_blocks
-    nc = nb // bpc
-    lo = packed.box_lo.reshape(nc, bpc, 3)
-    hi = packed.box_hi.reshape(nc, bpc, 3)
-    live = packed.block_live.reshape(nc, bpc) > 0
-    lo = jnp.min(jnp.where(live[..., None], lo, INF), axis=1)
-    hi = jnp.max(jnp.where(live[..., None], hi, -INF), axis=1)
-    any_live = live.any(axis=1)
-    lo = jnp.where(any_live[:, None], lo, 0.0)
-    hi = jnp.where(any_live[:, None], hi, -1.0)
-    return PackedScene(
-        w=packed.w, tri_map=packed.tri_map, box_lo=lo, box_hi=hi,
-        block_live=any_live.astype(jnp.int32), tri_block=packed.tri_block,
-    )
+def _pack_mask_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (rt, nb) 0/1 int mask into (rt, ceil(nb/32)) int32 bit words
+    (block b → bit b%32 of word b//32)."""
+    rt, nbp = mask.shape
+    pad = (-nbp) % 32
+    if pad:
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    m = mask.reshape(rt, -1, 32).astype(jnp.uint32)
+    words = jnp.sum(m << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
 def _pad_blocks(packed: PackedScene, bpc: int) -> PackedScene:
@@ -794,6 +801,127 @@ def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bo
     return occ.reshape(-1)
 
 
+def _kernel_occlusion_streamed(
+    order_ref, enter_ref, feats_ref, maxt_ref, blkmask_ref, w_hbm_ref, occ_ref,
+    scratch_ref, occ_s, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
+    precision: str = "highest",
+):
+    """Any-hit kernel for scenes beyond the VMEM budget: the cluster-DMA
+    streaming structure of _kernel_streamed (double-buffered HBM→VMEM,
+    front-to-back cluster schedule, per-block bitmask skip) with the
+    division-free any-hit acceptance of _kernel_occlusion. The loop stops
+    once every lane is occluded or has no remaining cluster nearer than its
+    cutoff; occlusion flags live in int32 VMEM scratch (wide i1 carries
+    don't legalize — see _kernel_occlusion)."""
+    i = pl.program_id(0)
+    feats = feats_ref[:]
+    maxt = maxt_ref[0, 0, :]
+
+    def get_dma(slot, j):
+        c = order_ref[j, i]
+        return pltpu.make_async_copy(
+            w_hbm_ref.at[pl.ds(c * bpc, bpc)],
+            scratch_ref.at[pl.ds(slot * bpc, bpc)],
+            sem_ref.at[slot],
+        )
+
+    occ_s[:] = jnp.zeros((feats.shape[0],), jnp.int32)
+
+    @pl.when(enter_ref[0, 0, 0] < INF)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        j, bound = state
+        return (j < nc) & (enter_ref[0, 0, j] < bound)
+
+    def body(state):
+        j, _bound = state
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when((j + 1 < nc) & (enter_ref[0, 0, j + 1] < INF))
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        c = order_ref[j, i]
+
+        for b in range(bpc):
+            blk = c * bpc + b
+            word = blkmask_ref[0, 0, jax.lax.shift_right_logical(blk, 5)]
+            bit = jax.lax.shift_right_logical(word, jax.lax.rem(blk, 32)) & 1
+
+            @pl.when(bit != 0)
+            def _(b=b, slot=slot):
+                s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)
+                s0 = s[:, 0 * tb : 1 * tb]
+                s1 = s[:, 1 * tb : 2 * tb]
+                s2 = s[:, 2 * tb : 3 * tb]
+                dd = s[:, 3 * tb : 4 * tb]
+                num = s[:, 4 * tb : 5 * tb]
+                edge = jnp.maximum(jnp.maximum(s0, s1), s2)
+                ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
+                blocked = ok & (num > maxt[:, None] * dd)
+                occ_s[:] = occ_s[:] | jnp.any(blocked, axis=-1).astype(jnp.int32)
+
+        return (j + 1, jnp.max(jnp.where(occ_s[:] > 0, -INF, maxt)))
+
+    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)))
+
+    @pl.when((j_end < nc) & (enter_ref[0, 0, j_end] < INF))
+    def _():
+        get_dma(jax.lax.rem(j_end, 2), j_end).wait()
+
+    occ_ref[0, 0, :] = occ_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
+def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+    rp = feats.shape[0]
+    nb, _, five_tb = w.shape
+    tb = five_tb // NSCALARS
+    rt = rp // ray_tile
+    nc = nb // bpc
+    nbw = blkmask.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbw), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * bpc, K, five_tb), jnp.float32),
+            pltpu.VMEM((ray_tile,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    occ = pl.pallas_call(
+        functools.partial(
+            _kernel_occlusion_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * K * five_tb * nb,
+            bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        order, enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile),
+        blkmask[:, None, :], w,
+    )
+    return occ.reshape(-1)
+
+
 def intersect_pallas_occluded(
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -805,10 +933,11 @@ def intersect_pallas_occluded(
 ) -> jnp.ndarray:
     """Boolean occlusion query: ∃ accepted hit with t ∈ (EPSILON, max_t)?
 
-    The NEE shadow-ray fast path (resident scenes only — the caller falls
-    back to closest-hit thresholding otherwise). ``max_t = 0`` marks lanes
-    that need no testing (dead rays) — they are excluded from the tile
-    frustums and report unoccluded, so callers never need to park/permute.
+    The NEE shadow-ray fast path. VMEM-resident scenes run the resident
+    any-hit kernel; larger scenes stream clusters like intersect_pallas
+    (_kernel_occlusion_streamed). ``max_t = 0`` marks lanes that need no
+    testing (dead rays) — they are excluded from the tile frustums and
+    report unoccluded, so callers never need to park/permute.
     """
     r = o.shape[0]
     precision = resolve_precision(precision)
@@ -816,8 +945,15 @@ def intersect_pallas_occluded(
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
     packed = jax.lax.stop_gradient(packed)
-    while packed.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
-        ray_tile *= 2
+    resident = packed.w.size * 4 <= RESIDENT_BUDGET_BYTES
+    bpc = 1
+    padded = packed
+    if not resident:
+        ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
+        padded = _pad_blocks(packed, bpc)
+    else:
+        while padded.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
+            ray_tile *= 2
     feats = pack_rays(o, d)
     pad = (-r) % ray_tile
     if pad:
@@ -825,12 +961,25 @@ def intersect_pallas_occluded(
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         max_t = jnp.pad(max_t, (0, pad))
-    mask, enter = tile_block_mask(o, d, packed, ray_tile, alive=max_t > 0)
-    order, enter_sorted = plan_block_order(mask, enter)
-    occ = _launch_occlusion(
-        order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w), ray_tile, interpret,
-        precision,
-    )
+    mask, enter = tile_block_mask(o, d, padded, ray_tile, alive=max_t > 0)
+    if resident:
+        order, enter_sorted = plan_block_order(mask, enter)
+        occ = _launch_occlusion(
+            order, enter_sorted, feats, max_t, jax.lax.stop_gradient(packed.w),
+            ray_tile, interpret, precision,
+        )
+    else:
+        rt = mask.shape[0]
+        cmask = mask.reshape(rt, -1, bpc).max(axis=-1)
+        center = jnp.min(
+            jnp.where(mask > 0, enter, INF).reshape(rt, -1, bpc), axis=-1
+        )
+        order, enter_sorted = plan_block_order(cmask, center)
+        blkmask = _pack_mask_bits(mask)
+        occ = _launch_occlusion_streamed(
+            order, enter_sorted, feats, max_t, blkmask,
+            jax.lax.stop_gradient(padded.w), ray_tile, bpc, interpret, precision,
+        )
     return occ[:r] > 0
 
 
@@ -896,16 +1045,16 @@ def intersect_pallas(
     resident = packed.w.size * 4 <= RESIDENT_BUDGET_BYTES
 
     bpc = 1
-    sched = packed
+    padded = packed
     if not resident:
         # Streamed path: schedule at CLUSTER granularity so huge scenes keep
         # fine ray tiles (better culling) without blowing the SMEM schedule;
         # a cluster (×2 buffers) must also fit the DMA scratch budget.
         ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
-        sched = _cluster_boxes(_pad_blocks(packed, bpc), bpc)
+        padded = _pad_blocks(packed, bpc)
     else:
         # Widen tiles until the (blocks, ray_tiles) schedule fits SMEM.
-        while sched.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
+        while padded.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
             ray_tile *= 2
     feats = pack_rays(o, d)
     alive_i = (
@@ -919,19 +1068,32 @@ def intersect_pallas(
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         alive_i = jnp.pad(alive_i, (0, pad))
+    # Frustum cull at BLOCK granularity (both paths).
     mask, enter = tile_block_mask(
-        o, d, sched, ray_tile, alive=None if alive is None and not pad else alive_i > 0
+        o, d, padded, ray_tile, alive=None if alive is None and not pad else alive_i > 0
     )
-    order, enter_sorted = plan_block_order(mask, enter)
     if resident:
+        order, enter_sorted = plan_block_order(mask, enter)
         best_t, best_i = _launch_resident(
             order, enter_sorted, feats, alive_i, jax.lax.stop_gradient(packed.w),
             ray_tile, interpret, precision,
         )
     else:
-        w_padded = jax.lax.stop_gradient(_pad_blocks(packed, bpc).w)
+        # Cluster schedule derived from the block-level pass: a cluster is
+        # visited iff any of its blocks survives, with entry key = min over
+        # surviving blocks' conservative entry distances (a valid lower
+        # bound, tighter than interval-testing the union AABB). The block
+        # mask itself rides along as bit words for in-kernel per-block skip.
+        rt = mask.shape[0]
+        cmask = mask.reshape(rt, -1, bpc).max(axis=-1)
+        center = jnp.min(
+            jnp.where(mask > 0, enter, INF).reshape(rt, -1, bpc), axis=-1
+        )
+        order, enter_sorted = plan_block_order(cmask, center)
+        blkmask = _pack_mask_bits(mask)
         best_t, best_i = _launch_streamed(
-            order, enter_sorted, feats, alive_i, w_padded, ray_tile, bpc, interpret, precision
+            order, enter_sorted, feats, alive_i, blkmask,
+            jax.lax.stop_gradient(padded.w), ray_tile, bpc, interpret, precision,
         )
     best_t = best_t[:r]
     best_i = best_i[:r]

@@ -93,7 +93,12 @@ class IntegratorOptions:
     # spread across tiles and each partially-live tile pays the full block
     # traversal — measured 2.22 s vs 1.83 s frame on config 3 (v5e), so it
     # only wins when liveness is tile-coherent (e.g. progressive culling of
-    # finished pixel regions).
+    # finished pixel regions). "hybrid" permutes the FULL path state once
+    # after bounce 0 (the big death wave: misses + emitter hits) and runs
+    # every later bounce in mask mode on the packed order — one 8-array
+    # permute per sample instead of (o, d, results) permutes per bounce;
+    # later deaths are mask-culled in place. Images are bit-identical
+    # across all three modes (per-lane results don't depend on tiling).
     compact_mode: str = "permute"
     # MXU matmul precision in the Pallas kernels (ops/pallas_intersect
     # PRECISIONS): "auto" (default) resolves to "mixed" on TPU — edge-sign
@@ -171,13 +176,14 @@ def make_occlusion_fn(
 ):
     """Build ``occluded(o, d, max_t) -> bool``: ∃ accepted hit with t < max_t.
 
-    VMEM-resident Pallas scenes get the dedicated any-hit kernel (first-hit
-    exit, no min/argmin bookkeeping); every other backend thresholds the
-    closest hit — the SAME predicate (min accepted t < max_t ⇔ ∃ accepted
-    t < max_t), so images are backend-independent. ``allow_kernel=False``
-    forces the threshold path (used with caller-supplied intersectors, e.g.
-    the scene-sharded distributed sweeps, where the full-scene kernel would
-    defeat the sharding).
+    Pallas scenes get the dedicated any-hit kernel (first-hit exit, no
+    min/argmin bookkeeping; VMEM-resident or cluster-streamed per scene
+    size); every other backend thresholds the closest hit — the SAME
+    predicate (min accepted t < max_t ⇔ ∃ accepted t < max_t), so images
+    are backend-independent. ``allow_kernel=False`` forces the threshold
+    path (used with caller-supplied intersectors, e.g. the scene-sharded
+    distributed sweeps, where the full-scene kernel would defeat the
+    sharding).
     """
     import jax as _jax
 
@@ -188,12 +194,11 @@ def make_occlusion_fn(
             packed = pallas_intersect.pack_scene(
                 scene, tri_block=pallas_intersect.compiled_tri_block(options.tri_block)
             )
-        if packed.w.size * 4 <= pallas_intersect.RESIDENT_BUDGET_BYTES:
-            interpret = _jax.default_backend() != "tpu"
-            return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
-                o, d, mt, packed, interpret=interpret,
-                precision=options.kernel_precision,
-            )
+        interpret = _jax.default_backend() != "tpu"
+        return lambda o, d, mt: pallas_intersect.intersect_pallas_occluded(
+            o, d, mt, packed, interpret=interpret,
+            precision=options.kernel_precision,
+        )
 
     def fallback(o, d, mt):
         # Thresholded closest hit. Lanes with mt = 0 need no testing — pass
@@ -557,16 +562,38 @@ def trace_paths(
     the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
     ``packed``: pre-packed Pallas scene (see make_intersect_fn).
     """
-    bounce = make_bounce_fn(scene, options, intersect_fn=intersect_fn, packed=packed)
+    hybrid = (
+        options.compact and options.compact_mode == "hybrid"
+        and resolved_intersector(options) == "pallas"
+        and options.bounces > 1
+    )
+    if hybrid:
+        # The scan bounces run in mask mode on a once-permuted state.
+        options_scan = dataclasses.replace(options, compact_mode="mask")
+    else:
+        options_scan = options
+    bounce = make_bounce_fn(scene, options_scan, intersect_fn=intersect_fn, packed=packed)
     init = init_path_state(origins, directions, keys)
     # Bounce 0 unrolled with compaction statically off: every lane is alive
     # and camera-coherent, so the partition + gathers are pure overhead
     # (~36 ms per 640k-ray sample on v5e).
     state = bounce(init, jnp.int32(0), compact_now=False)
     if options.bounces > 1:
+        inv = None
+        if hybrid:
+            # One alive-first permutation of the FULL path state after the
+            # bounce-0 death wave; every later bounce mask-culls in place.
+            # Per-lane results are position-independent, so the image is
+            # bit-identical to the per-bounce permute mode.
+            from gpupathtracer_tpu.ops.compaction import partition_alive
+
+            perm, inv = partition_alive(state[4])
+            state = jax.tree.map(lambda x: x[perm], state)
         state, _ = jax.lax.scan(
             lambda st, b: (bounce(st, b), None), state, jnp.arange(1, options.bounces)
         )
+        if inv is not None:
+            return state[3][inv]
     return state[3]  # radiance
 
 

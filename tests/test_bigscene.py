@@ -103,3 +103,44 @@ def test_streamed_kernel_parity_100k_scene(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(h.t)[same], np.asarray(h_ref.t)[same], rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_streamed_occlusion_parity(monkeypatch):
+    """Streamed any-hit kernel (scenes past the resident budget, bpc > 1)
+    vs thresholded brute-force closest hit — same predicate, so exact
+    agreement is required; max_t = 0 lanes must report unoccluded."""
+    from gpupathtracer_tpu.ops.pallas_intersect import intersect_pallas_occluded
+
+    mesh = subdivide_mesh(load_obj(WAHOO), 2)  # 82,752 tris
+    scene = build_scene(
+        [mesh_spec(mesh, position=(0.0, -2.0, 0.0), scale=(0.55, 0.55, 0.55))],
+        [{"type": "diffuse"}],
+        pad_to_multiple=512,
+    )
+    packed = pack_scene(scene, tri_block=512)
+    assert packed.w.size * 4 > pallas_intersect.RESIDENT_BUDGET_BYTES
+
+    r = 512
+    rng = np.random.default_rng(7)
+    o = jnp.tile(jnp.asarray([[0.0, 1.0, 12.0]], jnp.float32), (r, 1))
+    verts = np.asarray(scene.v0)[np.asarray(scene.valid)]
+    lo, hi = verts.min(0), verts.max(0)
+    targets = rng.uniform(lo, hi, size=(r, 3)).astype(np.float32)
+    dirs = targets - np.asarray(o)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    d = jnp.asarray(dirs)
+
+    h_ref = intersect_brute(o, d, scene, tri_block=512)
+    # Cutoffs straddling the true hit distances; every 5th lane dead (0).
+    cut = np.where(
+        rng.uniform(size=r) < 0.5, np.asarray(h_ref.t) * 0.9, np.asarray(h_ref.t) * 1.1
+    ).astype(np.float32)
+    cut = np.where(np.isfinite(cut) & (cut < 1e30), cut, 20.0)
+    cut[::5] = 0.0
+    max_t = jnp.asarray(cut)
+
+    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 4096)  # bpc > 1
+    occ = intersect_pallas_occluded(o, d, max_t, packed, ray_tile=128, interpret=True)
+    want = np.asarray(h_ref.hit) & (np.asarray(h_ref.t) < cut)
+    np.testing.assert_array_equal(np.asarray(occ), want)

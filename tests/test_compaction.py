@@ -130,8 +130,10 @@ def test_mask_compaction_matches_oracle_and_permute():
         for kw in (
             dict(compact=True, compact_mode="mask"),
             dict(compact=True, compact_mode="permute"),
+            dict(compact=True, compact_mode="hybrid"),
             dict(compact=False),
         )
     ]
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
+    np.testing.assert_array_equal(imgs[0], imgs[3])

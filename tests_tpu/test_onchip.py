@@ -136,3 +136,27 @@ def test_streamed_kernel_matches_oracle_onchip(monkeypatch, precision):
     np.testing.assert_allclose(
         np.asarray(h.t)[same], np.asarray(h_ref.t)[same], rtol=1e-4, atol=1e-4
     )
+
+
+def test_streamed_occlusion_onchip(monkeypatch):
+    """Compiled streamed any-hit kernel (bpc > 1) vs thresholded brute
+    closest hit on a >budget scene."""
+    from gpupathtracer_tpu.ops.pallas_intersect import RESIDENT_BUDGET_BYTES
+
+    scene = _wahoo_scene(subdiv=2)
+    packed = pack_scene(scene, tri_block=512)
+    assert packed.w.size * 4 > RESIDENT_BUDGET_BYTES
+    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 16 * 1024)
+    r = 4096
+    o, d = _rays(scene, r, seed=9)
+    h_ref = intersect_brute(o, d, scene, tri_block=512)
+    t_ref = np.asarray(h_ref.t)
+    rng = np.random.default_rng(11)
+    cut = np.where(rng.uniform(size=r) < 0.5, t_ref * 0.9, t_ref * 1.1).astype(np.float32)
+    cut = np.where(np.isfinite(cut) & (cut < 1e30), cut, 20.0)
+    cut[::5] = 0.0
+    occ = intersect_pallas_occluded(
+        o, d, jnp.asarray(cut), packed, ray_tile=128, precision="highest"
+    )
+    want = np.asarray(h_ref.hit) & (t_ref < cut)
+    np.testing.assert_array_equal(np.asarray(occ), want)

@@ -25,10 +25,17 @@ def main():
     scene, camera, settings = load_scene_file(os.path.join(REPO, "scenes", "config3_wahoo.toml"))
     settings = dataclasses.replace(settings, spp=4)
 
-    variants = [
-        ("tb128 coherent-compact", dict(tri_block=128, sort_rays=True, compact=True)),
-        ("tb128 plain-compact", dict(tri_block=128, sort_rays=False, compact=True)),
-    ]
+    import sys as _sys
+
+    all_variants = {
+        "coherent": ("tb128 coherent-compact", dict(tri_block=128, sort_rays=True, compact=True)),
+        "permute": ("tb128 permute-compact", dict(tri_block=128, sort_rays=False, compact=True)),
+        "hybrid": ("tb128 hybrid-compact", dict(tri_block=128, compact=True, compact_mode="hybrid")),
+        "mask": ("tb128 mask-compact", dict(tri_block=128, compact=True, compact_mode="mask")),
+        "off": ("tb128 no-compact", dict(tri_block=128, compact=False)),
+    }
+    names = _sys.argv[1:] or ["permute", "hybrid"]
+    variants = [all_variants[n] for n in names]
     for name, kw in variants:
         s = dataclasses.replace(settings, **kw)
 
