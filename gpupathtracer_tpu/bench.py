@@ -256,7 +256,27 @@ def run_scaling_probe(n_devices: int = 8):
 
 
 def main():
-    print(json.dumps(run_benchmark()))
+    result = run_benchmark()
+    # Full suite detail goes to a file; stdout gets ONE compact JSON line
+    # (last line) so the driver's parser never chokes on a multi-KB blob.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "config": result.get("config"),
+        "fwd_bwd_rays_per_sec": (result.get("fwd_bwd") or {}).get("rays_per_sec"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
