@@ -108,6 +108,14 @@ class IntegratorOptions:
     # CPU interpret mode the tests run. "high" = everything 3-pass (+14%
     # frame, t within ~2e-3); "highest" forces exact on TPU too.
     kernel_precision: str = "auto"
+    # Static set of BxdfType values present in the scene (EP-analogue
+    # specialization): the dense masked-select shading evaluates EVERY
+    # material branch full-width, so absent types are pure VPU/HBM waste —
+    # render_frame narrows this to the types the concrete scene's live
+    # triangles actually reference, and the absent branches compile away.
+    # Lanes of absent types cannot exist, so images are bit-identical to
+    # the full set. Default: all four (safe for traced scenes).
+    material_set: tuple = (0, 1, 2, 3)
     # Per-lane RNG engine (ops/sampling.py SAMPLERS): "pcg" (PCG4D hash —
     # one VPU-wide integer mix per draw site, the TPU-first default) or
     # "threefry" (jax.random; ~25 ms per 640k-lane draw site on v5e, kept
@@ -296,6 +304,18 @@ def make_bounce_fn(
     background = jnp.asarray(options.background, jnp.float32)
     mis = options.estimator == "mis"
     nee = options.estimator == "nee" or mis
+    # Static material-type specialization (IntegratorOptions.material_set):
+    # branches for absent types compile away entirely.
+    ms = tuple(options.material_set)
+    has_emit = BxdfType.EMITTER in ms
+    has_diffuse = BxdfType.DIFFUSE in ms
+    has_mirror = BxdfType.MIRROR in ms
+    has_glass = BxdfType.GLASS in ms
+    # NEE/MIS light sampling is dead weight without both an emitter to
+    # sample and a diffuse vertex to sample from — skip the light table AND
+    # the per-bounce shadow-ray kernel call.
+    nee = nee and has_emit and has_diffuse
+    mis = mis and has_emit and has_diffuse
     occlude_fn = (
         make_occlusion_fn(
             scene, options, intersect_fn, allow_kernel=not custom_intersect, packed=packed
@@ -375,10 +395,11 @@ def make_bounce_fn(
         radiance = radiance + jnp.where(missed[:, None], throughput * background[None, :], 0.0)
 
         mat = _gather_materials(scene, attrs.mat_id)
-        is_emit = mat["type"] == BxdfType.EMITTER
-        is_diffuse = mat["type"] == BxdfType.DIFFUSE
-        is_mirror = mat["type"] == BxdfType.MIRROR
-        is_glass = mat["type"] == BxdfType.GLASS
+        false_lanes = jnp.zeros_like(found)
+        is_emit = (mat["type"] == BxdfType.EMITTER) if has_emit else false_lanes
+        is_diffuse = (mat["type"] == BxdfType.DIFFUSE) if has_diffuse else false_lanes
+        is_mirror = (mat["type"] == BxdfType.MIRROR) if has_mirror else false_lanes
+        is_glass = (mat["type"] == BxdfType.GLASS) if has_glass else false_lanes
 
         # EMITTER: two-sided Le = emissive * intensity (utilities.h:96-103);
         # path terminates (reference sets outgoing = 0). Accounting depends
@@ -393,22 +414,23 @@ def make_bounce_fn(
         # - mis: hits from an NEE vertex count with the balance-heuristic
         #   weight pdf_bsdf / (pdf_bsdf + pdf_light(ω)) — the complement of
         #   the weight the light sample below carries.
-        le = mat["emissive"] * mat["intensity"][:, None]
-        if mis:
-            # Solid-angle pdf the light sampler would assign to this hit:
-            # area-uniform over emitters ⇒ t² / (cosθ_y · A_total).
-            cos_y_hit = jnp.abs(jnp.sum(attrs.gn * d, axis=-1))
-            t2 = attrs.t * attrs.t
-            pdf_light_hit = t2 / jnp.maximum(cos_y_hit * total_light_area, 1e-12)
-            w_bsdf = prev_pdf / jnp.maximum(prev_pdf + pdf_light_hit, 1e-12)
-            emit_w = jnp.where(prev_nee, w_bsdf, 1.0)
-            count_emit = found & is_emit
-        else:
-            emit_w = 1.0
-            count_emit = (found & is_emit) & (~prev_nee if nee else True)
-        radiance = radiance + jnp.where(
-            count_emit[:, None], throughput * le * (emit_w[:, None] if mis else 1.0), 0.0
-        )
+        if has_emit:
+            le = mat["emissive"] * mat["intensity"][:, None]
+            if mis:
+                # Solid-angle pdf the light sampler would assign to this hit:
+                # area-uniform over emitters ⇒ t² / (cosθ_y · A_total).
+                cos_y_hit = jnp.abs(jnp.sum(attrs.gn * d, axis=-1))
+                t2 = attrs.t * attrs.t
+                pdf_light_hit = t2 / jnp.maximum(cos_y_hit * total_light_area, 1e-12)
+                w_bsdf = prev_pdf / jnp.maximum(prev_pdf + pdf_light_hit, 1e-12)
+                emit_w = jnp.where(prev_nee, w_bsdf, 1.0)
+                count_emit = found & is_emit
+            else:
+                emit_w = 1.0
+                count_emit = (found & is_emit) & (~prev_nee if nee else True)
+            radiance = radiance + jnp.where(
+                count_emit[:, None], throughput * le * (emit_w[:, None] if mis else 1.0), 0.0
+            )
 
         # Shading frame. One-sided triangles are always front hits (the
         # backface cull guarantees dot(d, gn) < 0); two-sided primitives get
@@ -476,48 +498,54 @@ def make_bounce_fn(
             use = found & is_diffuse & lit & (total_light_area > 0)
             radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
 
-        # DIFFUSE: cosine-weighted hemisphere sample (the reference warp,
-        # utilities.h:46-55); Lambertian throughput factor = albedo.
-        local = sampling.cosine_sample_hemisphere(u[:, 0], u[:, 1])
-        d_diffuse = sampling.local_to_world(local, n_shade)
+        # Scatter-type select chain, innermost-first over PRESENT types only
+        # (absent branches compile away; selected values on present-type
+        # lanes are identical to the full chain, and lanes of absent types
+        # cannot exist — bit-identical images). Fallbacks below are unused
+        # whenever any scatter type exists (scatter = False on such lanes).
+        new_d = d
+        tp_factor = jnp.ones_like(mat["albedo"])
 
-        # MIRROR: perfect specular reflection scaled by specular color.
-        d_mirror = sampling.reflect(d, n_shade)
+        if has_glass:
+            # GLASS: Schlick-Fresnel-weighted reflect/refract.
+            cos_i = jnp.clip(-jnp.sum(d * n, axis=-1), -1.0, 1.0)
+            entering = cos_i > 0.0
+            n_glass = jnp.where(entering[:, None], n, -n)
+            cos_i_abs = jnp.abs(cos_i)
+            eta_i = jnp.where(entering, 1.0, mat["ior"])
+            eta_t = jnp.where(entering, mat["ior"], 1.0)
+            fres = sampling.fresnel_schlick(cos_i_abs, eta_i, eta_t)
+            refr, tir = sampling.refract(d, n_glass, (eta_i / eta_t)[:, None])
+            reflect_choice = tir | (u[:, 2] < fres)
+            new_d = jnp.where(
+                reflect_choice[:, None], sampling.reflect(d, n_glass), sampling.normalize_dir(refr)
+            )
+            tp_factor = jnp.where(
+                reflect_choice[:, None], jnp.ones_like(mat["albedo"]), mat["transmittance"]
+            )
 
-        # GLASS: Schlick-Fresnel-weighted reflect/refract.
-        cos_i = jnp.clip(-jnp.sum(d * n, axis=-1), -1.0, 1.0)
-        entering = cos_i > 0.0
-        n_glass = jnp.where(entering[:, None], n, -n)
-        cos_i_abs = jnp.abs(cos_i)
-        eta_i = jnp.where(entering, 1.0, mat["ior"])
-        eta_t = jnp.where(entering, mat["ior"], 1.0)
-        fres = sampling.fresnel_schlick(cos_i_abs, eta_i, eta_t)
-        refr, tir = sampling.refract(d, n_glass, (eta_i / eta_t)[:, None])
-        reflect_choice = tir | (u[:, 2] < fres)
-        d_glass = jnp.where(
-            reflect_choice[:, None], sampling.reflect(d, n_glass), sampling.normalize_dir(refr)
-        )
+        if has_mirror:
+            # MIRROR: perfect specular reflection scaled by specular color.
+            d_mirror = sampling.reflect(d, n_shade)
+            new_d = jnp.where(is_mirror[:, None], d_mirror, new_d)
+            tp_factor = jnp.where(is_mirror[:, None], mat["specular"], tp_factor)
 
-        new_d = jnp.where(
-            is_diffuse[:, None],
-            d_diffuse,
-            jnp.where(is_mirror[:, None], d_mirror, d_glass),
-        )
-        tp_factor = jnp.where(
-            is_diffuse[:, None],
-            mat["albedo"],
-            jnp.where(
-                is_mirror[:, None],
-                mat["specular"],
-                jnp.where(reflect_choice[:, None], jnp.ones_like(mat["albedo"]), mat["transmittance"]),
-            ),
-        )
+        if has_diffuse:
+            # DIFFUSE: cosine-weighted hemisphere sample (the reference warp,
+            # utilities.h:46-55); Lambertian throughput factor = albedo.
+            local = sampling.cosine_sample_hemisphere(u[:, 0], u[:, 1])
+            d_diffuse = sampling.local_to_world(local, n_shade)
+            new_d = jnp.where(is_diffuse[:, None], d_diffuse, new_d)
+            tp_factor = jnp.where(is_diffuse[:, None], mat["albedo"], tp_factor)
 
         scatter = found & ~is_emit
         new_throughput = jnp.where(scatter[:, None], throughput * tp_factor, throughput)
 
         # Offset the new origin off the surface along the travel side.
-        offset_n = jnp.where(is_glass[:, None] & ~reflect_choice[:, None], -n_glass, n_shade)
+        if has_glass:
+            offset_n = jnp.where(is_glass[:, None] & ~reflect_choice[:, None], -n_glass, n_shade)
+        else:
+            offset_n = n_shade
         new_o = attrs.point + RAY_OFFSET * offset_n
 
         alive_next = scatter

@@ -46,6 +46,10 @@ class RenderSettings:
     compact_mode: str = "permute"  # "permute" | "mask" (see IntegratorOptions)
     kernel_precision: str = "auto"  # MXU pass precision (see IntegratorOptions)
     rng: str = "pcg"  # per-lane RNG engine: "pcg" | "threefry" (see IntegratorOptions)
+    # Static BxdfType values present in the scene (see IntegratorOptions.
+    # material_set). render_frame/render_samples narrow this automatically
+    # for concrete scenes; absent material branches then compile away.
+    material_set: tuple = (0, 1, 2, 3)
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -56,6 +60,7 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         tri_block=s.tri_block,
         ray_chunk=s.ray_chunk,
         use_shading_normals=s.use_shading_normals,
+        material_set=s.material_set,
         intersector=s.intersector,
         estimator=s.estimator,
         sort_rays=s.sort_rays,
@@ -64,6 +69,19 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         kernel_precision=s.kernel_precision,
         rng=s.rng,
     )
+
+
+def scene_material_set(scene: TriangleScene) -> tuple:
+    """Static BxdfType set referenced by the scene's live triangles (EP
+    specialization input, IntegratorOptions.material_set). Concrete scenes
+    only — do not call on tracers."""
+    import numpy as np
+
+    types = np.asarray(scene.materials.type)
+    mat_id = np.asarray(scene.mat_id)
+    valid = np.asarray(scene.valid)
+    used = np.unique(mat_id[valid]) if valid.any() else np.unique(mat_id)
+    return tuple(sorted({int(t) for t in types[used]}))
 
 
 def render_frame(
@@ -89,6 +107,8 @@ def render_frame(
     a traced pytree; under jit/grad the traced pack path is used instead.
     """
     concrete = not isinstance(scene.v0, jax.core.Tracer)
+    if concrete:
+        settings = dataclasses.replace(settings, material_set=scene_material_set(scene))
     if settings.intersector == "bvh" and concrete:
         from gpupathtracer_tpu.accel.bvh import build_bvh
 
@@ -209,12 +229,12 @@ def render_samples(
     from gpupathtracer_tpu.render.integrator import resolved_intersector
 
     packed = None
-    if not isinstance(scene.v0, jax.core.Tracer) and (
-        resolved_intersector(_integrator_options(settings)) == "pallas"
-    ):
-        from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
+    if not isinstance(scene.v0, jax.core.Tracer):
+        settings = dataclasses.replace(settings, material_set=scene_material_set(scene))
+        if resolved_intersector(_integrator_options(settings)) == "pallas":
+            from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 
-        packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
+            packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
     return _render_samples_core(
         scene, packed, camera, settings, sample_start, num_samples, seed
     )

@@ -213,3 +213,41 @@ def test_normal_aov_parity_magnitudes():
     settings_unit = RenderSettings(width=16, height=16, aov="normal_unit", tri_block=8)
     img_u = np.asarray(render_frame(scene, cam, settings_unit))
     np.testing.assert_allclose(img_u[8, 8], [0.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_material_set_specialization_bit_identical():
+    """EP-analogue static specialization (IntegratorOptions.material_set):
+    narrowing to the types the scene actually uses must be bit-identical to
+    the full 4-type select chain — absent-type lanes cannot exist, and the
+    select chain's values on present-type lanes are unchanged."""
+    import dataclasses
+
+    from gpupathtracer_tpu.render.renderer import scene_material_set
+
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/triangle.obj", mat_id=0),
+            plane_spec((0.5, 0.5, -1.5), (0, 0, 0), (8, 8, 8), mat_id=1),
+        ],
+        [RED, EMITTER],
+        pad_to_multiple=8,
+    )
+    assert scene_material_set(scene) == (0, 1)  # emitter + diffuse only
+    cam = Camera.create(position=(0.5, 0.5, 3.0), width=32, height=32)
+    for estimator in ("naive", "nee", "mis"):
+        settings = RenderSettings(
+            width=32, height=32, spp=2, bounces=3, tri_block=8, estimator=estimator
+        )
+        # render_frame narrows automatically (concrete scene) ...
+        img_narrow = np.asarray(render_frame(scene, cam, settings))
+        # ... full set forced via a traced scene (tracer path keeps the
+        # caller-provided default (0, 1, 2, 3)).
+        import jax
+
+        full = dataclasses.replace(settings)
+        img_full = np.asarray(
+            jax.jit(
+                lambda s: render_frame(s, cam, full), static_argnums=()
+            )(scene)
+        )
+        np.testing.assert_array_equal(img_narrow, img_full, err_msg=estimator)
