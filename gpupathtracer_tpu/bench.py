@@ -37,6 +37,12 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 SCENES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scenes")
 
+# Full-suite detail lands here; main() nulls the compact line's "detail"
+# field if the write fails so a stale file is never mistaken for this run's.
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json"
+)
+
 # (config file, bench spp, bench resolution override or None)
 CONFIG_SUITE = [
     ("config1_triangle.toml", 16, None),
@@ -256,17 +262,18 @@ def run_scaling_probe(n_devices: int = 8):
 
 
 def main():
+    import sys
+
     result = run_benchmark()
     # Full suite detail goes to a file; stdout gets ONE compact JSON line
     # (last line) so the driver's parser never chokes on a multi-KB blob.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json"
-    )
+    detail_name = os.path.basename(DETAIL_PATH)
     try:
-        with open(detail_path, "w") as f:
+        with open(DETAIL_PATH, "w") as f:
             json.dump(result, f, indent=1)
-    except OSError:
-        pass
+    except OSError as e:
+        print(f"warning: could not write {DETAIL_PATH}: {e}", file=sys.stderr)
+        detail_name = None  # any existing detail file is NOT from this run
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -274,7 +281,7 @@ def main():
         "vs_baseline": result["vs_baseline"],
         "config": result.get("config"),
         "fwd_bwd_rays_per_sec": (result.get("fwd_bwd") or {}).get("rays_per_sec"),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     print(json.dumps(compact))
 

@@ -233,13 +233,11 @@ def render_frame_distributed(
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
     rows = shard_scene_rows(scene, n_scene)
     rows_per_shard = scene.num_triangles // n_scene
-    if not isinstance(scene.v0, jax.core.Tracer):
-        # Same EP-analogue narrowing as render_frame (bit-identical).
-        import dataclasses as _dc
+    # Same EP-analogue narrowing as render_frame (bit-identical; shared
+    # helper respects caller-pinned non-default sets).
+    from gpupathtracer_tpu.render.renderer import narrow_settings
 
-        from gpupathtracer_tpu.render.renderer import scene_material_set
-
-        settings = _dc.replace(settings, material_set=scene_material_set(scene))
+    settings = narrow_settings(scene, settings)
     opts = _integrator_options(settings)
 
     @partial(

@@ -84,6 +84,27 @@ def scene_material_set(scene: TriangleScene) -> tuple:
     return tuple(sorted({int(t) for t in types[used]}))
 
 
+_FULL_MATERIAL_SET = (0, 1, 2, 3)
+
+
+def narrow_settings(scene: TriangleScene, settings: RenderSettings) -> RenderSettings:
+    """Auto-narrow ``settings.material_set`` to the types a concrete scene's
+    live triangles reference (the EP-analogue specialization — absent
+    branches compile away, bit-identical images).
+
+    Narrowing only fires when the set is still the full default, so a caller
+    who pins an explicit set — e.g. the full (0,1,2,3) to keep one compiled
+    executable across scenes, or a superset for an A/B of the specialization
+    — is respected. Shared by render_frame / render_samples /
+    parallel.render_frame_distributed so the rule lives in one place.
+    """
+    if isinstance(scene.v0, jax.core.Tracer):
+        return settings
+    if tuple(settings.material_set) != _FULL_MATERIAL_SET:
+        return settings
+    return dataclasses.replace(settings, material_set=scene_material_set(scene))
+
+
 def render_frame(
     scene: TriangleScene,
     camera: Camera,
@@ -107,8 +128,7 @@ def render_frame(
     a traced pytree; under jit/grad the traced pack path is used instead.
     """
     concrete = not isinstance(scene.v0, jax.core.Tracer)
-    if concrete:
-        settings = dataclasses.replace(settings, material_set=scene_material_set(scene))
+    settings = narrow_settings(scene, settings)
     if settings.intersector == "bvh" and concrete:
         from gpupathtracer_tpu.accel.bvh import build_bvh
 
@@ -229,8 +249,8 @@ def render_samples(
     from gpupathtracer_tpu.render.integrator import resolved_intersector
 
     packed = None
+    settings = narrow_settings(scene, settings)
     if not isinstance(scene.v0, jax.core.Tracer):
-        settings = dataclasses.replace(settings, material_set=scene_material_set(scene))
         if resolved_intersector(_integrator_options(settings)) == "pallas":
             from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 

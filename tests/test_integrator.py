@@ -251,3 +251,20 @@ def test_material_set_specialization_bit_identical():
             )(scene)
         )
         np.testing.assert_array_equal(img_narrow, img_full, err_msg=estimator)
+
+
+def test_narrow_settings_respects_pinned_set():
+    """narrow_settings only auto-narrows the full default (0,1,2,3); a
+    caller-pinned set survives — e.g. forcing the full chain to share one
+    compiled executable across scenes (ADVICE r3)."""
+    from gpupathtracer_tpu.render.renderer import narrow_settings
+
+    scene = build_scene(
+        [mesh_spec("/root/reference/sceneResources/triangle.obj", mat_id=0)],
+        [RED],
+        pad_to_multiple=8,
+    )
+    default = RenderSettings(width=16, height=16, tri_block=8)
+    assert narrow_settings(scene, default).material_set == (1,)  # diffuse only
+    pinned = RenderSettings(width=16, height=16, tri_block=8, material_set=(0, 1, 2))
+    assert narrow_settings(scene, pinned).material_set == (0, 1, 2)
