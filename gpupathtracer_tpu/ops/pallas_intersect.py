@@ -108,10 +108,13 @@ def _decision_dot(feats, w_blk, precision: str, tb: int | None = None):
         precision=PRECISIONS[precision],
     )
 
-# The per-tile block schedule (order, (nb, ray_tiles) int32) is scalar-
-# prefetched to SMEM (1 MB); keep it comfortably under budget by widening
-# ray tiles when the scene has many blocks (see intersect_pallas).
-SCHEDULE_SMEM_BUDGET = 800 * 1024
+# The per-tile block/cluster schedule rides in as a normal SMEM input with
+# (1, 1, nc) per-tile blocks — only ONE tile's schedule row is ever in SMEM
+# at a time (the Pallas pipeline streams rows like any other input), so
+# schedule size never constrains ray-tile width. (Rounds 1-3 scalar-
+# prefetched the whole (nb, rt) array instead, whose 1 MB SMEM budget forced
+# coarse clusters AND widened ray tiles on big scenes — exactly the culling
+# large scenes need most; see VERDICT round-3 item 1.)
 
 
 @struct.dataclass
@@ -377,21 +380,22 @@ def tile_block_mask(o, d, packed: PackedScene, ray_tile: int, alive=None):
 def plan_block_order(mask: jnp.ndarray, enter: jnp.ndarray):
     """Per-tile front-to-back block schedule.
 
-    Returns ``(order, enter_sorted)``: ``order[i, j]`` is the j-th block id
-    tile i should visit (ascending conservative entry distance); culled
-    blocks sort to the tail with the sentinel id ``nb`` (skip). The kernel
+    Returns ``(order, enter_sorted)``, both (ray_tiles, nb): ``order[i, j]``
+    is the j-th block id tile i should visit (ascending conservative entry
+    distance); culled blocks sort to the tail with the sentinel id ``nb``
+    (skip) and enter = +inf, so the kernel's while-loop condition
+    (``enter_sorted[i, j] < worst best-t``) never reaches them. The kernel
     additionally early-exits a step when ``enter_sorted[i, j]`` exceeds the
     tile's current worst best-t — the packet-tracing analogue of BVH
-    front-to-back traversal with t-pruning.
+    front-to-back traversal with t-pruning. Each tile's row streams to SMEM
+    as a normal pipelined input (see the schedule note above).
     """
     nb = mask.shape[1]
     key = jnp.where(mask > 0, enter, INF)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     enter_sorted = jnp.take_along_axis(key, order, axis=1)
     order = jnp.where(jnp.isfinite(enter_sorted), order, nb)
-    # Transposed to (nb, rt): SMEM pads the LAST dim to 128 lanes, so the
-    # long (ray-tile) axis must be last or the prefetch blows the 1MB SMEM.
-    return order.T, enter_sorted
+    return order, enter_sorted
 
 
 def _kernel_resident(
@@ -413,7 +417,6 @@ def _kernel_resident(
     early-exit bound ``max(best_t)`` ignores them, and a tile whose live
     lanes have all resolved exits even while dead lanes "miss" forever —
     the in-kernel half of mask-based compaction (see tile_block_mask)."""
-    i = pl.program_id(0)
     feats = feats_ref[:]
     lane_alive = alive_ref[0, 0, :] > 0
 
@@ -424,7 +427,7 @@ def _kernel_resident(
 
     def body(state):
         j, best_t, best_i, _worst = state
-        blk = order_ref[j, i]
+        blk = order_ref[0, 0, j]
         s = _decision_dot(feats, w_ref[blk], precision, tb)  # (TR, 5*tb)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
@@ -466,25 +469,22 @@ def _launch_resident(order, enter, feats, alive, w, ray_tile: int, interpret: bo
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(rt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, nb), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            # Whole packed scene resident in VMEM; identical index every step
-            # ⇒ fetched once by the pipeline.
-            pl.BlockSpec((nb, K, five_tb), lambda i, order: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-    )
     best_t, best_i = pl.pallas_call(
         functools.partial(_kernel_resident, tb=tb, nb=nb, precision=precision),
-        grid_spec=grid_spec,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # Whole packed scene resident in VMEM; identical index every step
+            # ⇒ fetched once by the pipeline.
+            pl.BlockSpec((nb, K, five_tb), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
@@ -495,7 +495,7 @@ def _launch_resident(order, enter, feats, alive, w, ray_tile: int, interpret: bo
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile), w)
+    )(order[:, None, :], enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile), w)
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
@@ -505,26 +505,26 @@ def _launch_resident(order, enter, feats, alive, w, ray_tile: int, interpret: bo
 RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
 
 # Streamed-kernel cluster sizing: blocks are grouped into clusters of
-# consecutive Morton-ordered blocks; the schedule (SMEM) and the HBM→VMEM
-# DMA both work at cluster granularity. A cluster (×2 double buffers) must
-# fit comfortably in VMEM next to the decision matrix.
-CLUSTER_BYTES_MAX = 4 * 1024 * 1024
+# consecutive Morton-ordered blocks; the schedule (SMEM row per tile) and
+# the HBM→VMEM DMA both work at cluster granularity. Small clusters =
+# fine-grained front-to-back early exit (the round-3 16×-per-segment gap on
+# config6 was mostly 2.7 MB clusters: one "visit" fetched AND mostly
+# computed 65 blocks); the floor is DMA efficiency — clusters of a few
+# hundred KB keep the double-buffered pipeline ahead of the epilogue.
+CLUSTER_TARGET_BYTES = 256 * 1024
 
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
-    """Pick (ray_tile, bpc) for the streamed kernel: the finest ray tile
-    (better frustum culling) whose cluster schedule fits the SMEM budget
-    with clusters no larger than CLUSTER_BYTES_MAX (VMEM scratch ×2)."""
-    cdiv = lambda a, b: -(-a // b)
+    """Pick (ray_tile, bpc) for the streamed kernel.
+
+    ray_tile passes through unchanged — with per-tile SMEM schedule rows
+    there is no schedule-size pressure on tile width, so frustum culling
+    keeps its finest granularity on arbitrarily large scenes. bpc targets
+    CLUSTER_TARGET_BYTES per DMA'd cluster.
+    """
     block_bytes = K * NSCALARS * tri_block * 4
-    bpc_max = max(1, CLUSTER_BYTES_MAX // block_bytes)
-    while True:
-        rt = cdiv(r, ray_tile)
-        nc_max = max(1, SCHEDULE_SMEM_BUDGET // (4 * rt))
-        bpc = cdiv(nb, nc_max)
-        if bpc <= bpc_max:
-            return ray_tile, bpc
-        ray_tile *= 2
+    bpc = max(1, CLUSTER_TARGET_BYTES // block_bytes)
+    return ray_tile, min(bpc, max(nb, 1))
 
 
 def _kernel_streamed(
@@ -553,7 +553,6 @@ def _kernel_streamed(
 
     Dead-lane handling matches _kernel_resident: alive 0 ⇒ best_t = -inf.
     """
-    i = pl.program_id(0)
     feats = feats_ref[:]
     lane_alive = alive_ref[0, 0, :] > 0
 
@@ -563,7 +562,7 @@ def _kernel_streamed(
         # scratch[slot, b] with two dynamic indices crashes the Mosaic
         # layout pass ("arr.size() >= layout_rank" check in layout.h) for
         # bpc > 1 — hit on chip by any >16 MB scene with many ray tiles.
-        c = order_ref[j, i]  # (nc, rt) layout
+        c = order_ref[0, 0, j]
         return pltpu.make_async_copy(
             w_hbm_ref.at[pl.ds(c * bpc, bpc)],
             scratch_ref.at[pl.ds(slot * bpc, bpc)],
@@ -596,7 +595,7 @@ def _kernel_streamed(
             get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
         get_dma(slot, j).wait()
-        c = order_ref[j, i]
+        c = order_ref[0, 0, j]
 
         # Statically unrolled over the cluster's blocks (a lax.fori_loop
         # nested in the while_loop trips a Mosaic layout-pass crash, like
@@ -648,21 +647,26 @@ def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc:
     nc = nb // bpc  # caller pads w to a bpc multiple
     nbw = blkmask.shape[-1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    best_t, best_i = pl.pallas_call(
+        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision),
         grid=(rt,),
         in_specs=[
-            pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             # Per-tile block-granular cull bits (32 blocks per int32 word).
-            pl.BlockSpec((1, 1, nbw), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nbw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             # Whole packed scene stays in HBM; clusters are DMA'd manually.
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * bpc, K, five_tb), jnp.float32),
@@ -670,14 +674,6 @@ def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc:
             pltpu.VMEM((ray_tile,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
-            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
-        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * K * five_tb * nb,
             bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
@@ -685,8 +681,8 @@ def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc:
         ),
         interpret=interpret,
     )(
-        order, enter[:, None, :], feats, alive.reshape(rt, 1, ray_tile),
-        blkmask[:, None, :], w,
+        order[:, None, :], enter[:, None, :], feats,
+        alive.reshape(rt, 1, ray_tile), blkmask[:, None, :], w,
     )
     return best_t.reshape(-1), best_i.reshape(-1)
 
@@ -731,7 +727,6 @@ def _kernel_occlusion(
     cutoff (enter distances ascend). Exactly equivalent to thresholding the
     closest hit: min accepted t < max_t ⇔ ∃ accepted t < max_t.
     """
-    i = pl.program_id(0)
     feats = feats_ref[:]
     maxt = maxt_ref[0, 0, :]  # (TR,) per-ray cutoff; 0 ⇒ lane never needs testing
 
@@ -746,7 +741,7 @@ def _kernel_occlusion(
 
     def body(state):
         j, occ = state
-        blk = order_ref[j, i]
+        blk = order_ref[0, 0, j]
         s = _decision_dot(feats, w_ref[blk], precision, tb)
         s0 = s[:, 0 * tb : 1 * tb]
         s1 = s[:, 1 * tb : 2 * tb]
@@ -774,22 +769,19 @@ def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bo
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(rt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, nb), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, K, five_tb), lambda i, order: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
     occ = pl.pallas_call(
         functools.partial(_kernel_occlusion, tb=tb, nb=nb, precision=precision),
-        grid_spec=grid_spec,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, K, five_tb), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * K * five_tb * nb,
@@ -797,7 +789,7 @@ def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bo
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile), w)
+    )(order[:, None, :], enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile), w)
     return occ.reshape(-1)
 
 
@@ -813,12 +805,11 @@ def _kernel_occlusion_streamed(
     once every lane is occluded or has no remaining cluster nearer than its
     cutoff; occlusion flags live in int32 VMEM scratch (wide i1 carries
     don't legalize — see _kernel_occlusion)."""
-    i = pl.program_id(0)
     feats = feats_ref[:]
     maxt = maxt_ref[0, 0, :]
 
     def get_dma(slot, j):
-        c = order_ref[j, i]
+        c = order_ref[0, 0, j]
         return pltpu.make_async_copy(
             w_hbm_ref.at[pl.ds(c * bpc, bpc)],
             scratch_ref.at[pl.ds(slot * bpc, bpc)],
@@ -844,7 +835,7 @@ def _kernel_occlusion_streamed(
             get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
         get_dma(slot, j).wait()
-        c = order_ref[j, i]
+        c = order_ref[0, 0, j]
 
         for b in range(bpc):
             blk = c * bpc + b
@@ -884,31 +875,28 @@ def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: 
     nc = nb // bpc
     nbw = blkmask.shape[-1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    occ = pl.pallas_call(
+        functools.partial(
+            _kernel_occlusion_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision
+        ),
         grid=(rt,),
         in_specs=[
-            pl.BlockSpec((1, 1, nc), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ray_tile, K), lambda i, order: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbw), lambda i, order: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, ray_tile), lambda i, order: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2 * bpc, K, five_tb), jnp.float32),
             pltpu.VMEM((ray_tile,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    occ = pl.pallas_call(
-        functools.partial(
-            _kernel_occlusion_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * K * five_tb * nb,
             bytes_accessed=rp * K * 4 + nb * K * five_tb * 4 + 2 * rp * 4,
@@ -916,7 +904,7 @@ def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: 
         ),
         interpret=interpret,
     )(
-        order, enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile),
+        order[:, None, :], enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile),
         blkmask[:, None, :], w,
     )
     return occ.reshape(-1)
@@ -951,9 +939,6 @@ def intersect_pallas_occluded(
     if not resident:
         ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
         padded = _pad_blocks(packed, bpc)
-    else:
-        while padded.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
-            ray_tile *= 2
     feats = pack_rays(o, d)
     pad = (-r) % ray_tile
     if pad:
@@ -1047,15 +1032,11 @@ def intersect_pallas(
     bpc = 1
     padded = packed
     if not resident:
-        # Streamed path: schedule at CLUSTER granularity so huge scenes keep
-        # fine ray tiles (better culling) without blowing the SMEM schedule;
-        # a cluster (×2 buffers) must also fit the DMA scratch budget.
+        # Streamed path: DMA at CLUSTER granularity (a few blocks targeting
+        # CLUSTER_TARGET_BYTES); ray tiles stay fine — per-tile SMEM
+        # schedule rows put no size pressure on tile width.
         ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
         padded = _pad_blocks(packed, bpc)
-    else:
-        # Widen tiles until the (blocks, ray_tiles) schedule fits SMEM.
-        while padded.num_blocks * (-(-r // ray_tile)) * 4 > SCHEDULE_SMEM_BUDGET:
-            ray_tile *= 2
     feats = pack_rays(o, d)
     alive_i = (
         jnp.ones((r,), jnp.int32)

@@ -64,9 +64,9 @@ def test_streamed_kernel_parity_100k_scene(monkeypatch):
     """Streamed cluster-DMA kernel vs the oracle on 165k triangles (wahoo
     subdivided x2, two instances) with camera-coherent rays. The packed
     matrix (~21 MB) exceeds the 16 MB resident budget naturally — no
-    monkeypatch needed for selection; we also shrink the SMEM schedule
-    budget to force multi-block clusters (bpc > 1) through the fori_loop
-    path."""
+    monkeypatch needed for selection; we also raise the cluster
+    target size to force multi-block clusters (bpc > 1) through the
+    unrolled in-cluster path."""
     mesh = subdivide_mesh(load_obj(WAHOO), 2)  # 82,752 tris
     scene = build_scene(
         [
@@ -92,7 +92,7 @@ def test_streamed_kernel_parity_100k_scene(monkeypatch):
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     d = jnp.asarray(dirs)
 
-    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 4096)  # forces bpc > 1
+    monkeypatch.setattr(pallas_intersect, "CLUSTER_TARGET_BYTES", 512 * 1024)  # forces bpc > 1
     h = intersect_pallas(o, d, packed, ray_tile=128, interpret=True)
     h_ref = intersect_brute(o, d, scene, tri_block=512)
 
@@ -140,7 +140,7 @@ def test_streamed_occlusion_parity(monkeypatch):
     cut[::5] = 0.0
     max_t = jnp.asarray(cut)
 
-    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 4096)  # bpc > 1
+    monkeypatch.setattr(pallas_intersect, "CLUSTER_TARGET_BYTES", 512 * 1024)  # bpc > 1
     occ = intersect_pallas_occluded(o, d, max_t, packed, ray_tile=128, interpret=True)
     want = np.asarray(h_ref.hit) & (np.asarray(h_ref.t) < cut)
     np.testing.assert_array_equal(np.asarray(occ), want)

@@ -119,8 +119,8 @@ def test_streamed_kernel_matches_oracle_onchip(monkeypatch, precision):
     scene = _wahoo_scene(subdiv=2)  # 82,752 tris → ~25 MB packed
     packed = pack_scene(scene, tri_block=512)
     assert packed.w.size * 4 > pallas_intersect.RESIDENT_BUDGET_BYTES
-    # Shrink the schedule budget so bpc > 1 (multi-block clusters).
-    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 16 * 1024)
+    # Raise the cluster target so bpc > 1 (multi-block clusters).
+    monkeypatch.setattr(pallas_intersect, "CLUSTER_TARGET_BYTES", 512 * 1024)
     r = 8192
     o, d = _rays(scene, r, seed=4)
     h = intersect_pallas(o, d, packed, ray_tile=128, precision=precision)
@@ -146,7 +146,7 @@ def test_streamed_occlusion_onchip(monkeypatch):
     scene = _wahoo_scene(subdiv=2)
     packed = pack_scene(scene, tri_block=512)
     assert packed.w.size * 4 > RESIDENT_BUDGET_BYTES
-    monkeypatch.setattr(pallas_intersect, "SCHEDULE_SMEM_BUDGET", 16 * 1024)
+    monkeypatch.setattr(pallas_intersect, "CLUSTER_TARGET_BYTES", 512 * 1024)
     r = 4096
     o, d = _rays(scene, r, seed=9)
     h_ref = intersect_brute(o, d, scene, tri_block=512)

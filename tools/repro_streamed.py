@@ -36,12 +36,12 @@ def main():
     ap.add_argument("--precision", default="mixed")
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--ray-tile", type=int, default=128)
-    ap.add_argument("--smem-budget", type=int, default=None)
+    ap.add_argument("--cluster-target", type=int, default=None)
     ap.add_argument("--interpret", action="store_true")
     args = ap.parse_args()
 
-    if args.smem_budget is not None:
-        pallas_intersect.SCHEDULE_SMEM_BUDGET = args.smem_budget
+    if args.cluster_target is not None:
+        pallas_intersect.CLUSTER_TARGET_BYTES = args.cluster_target
 
     mesh = subdivide_mesh(load_obj("/root/reference/sceneResources/wahoo.obj"), args.subdiv)
     scene = build_scene(
@@ -59,7 +59,7 @@ def main():
         f"tris={scene.num_triangles} nb={nb} packed_mb={packed.w.size*4/2**20:.1f} "
         f"resident={resident} rays={r} ray_tile={rt_planned} bpc={bpc} "
         f"nclusters={(nb + (-nb) % bpc)//bpc} rt={-(-r//rt_planned)} "
-        f"sched_smem_kb={((nb + (-nb) % bpc)//bpc) * (-(-r//rt_planned)) * 4 / 1024:.0f} "
+        f"sched_row_kb={((nb + (-nb) % bpc)//bpc) * 4 / 1024:.1f} "
         f"scratch_mb={2*bpc*16*5*512*4/2**20:.2f} precision={args.precision}",
         flush=True,
     )
