@@ -13,6 +13,12 @@ consistent sampling (see render/integrator.py for the estimator):
 - GLASS: dielectric with Schlick Fresnel reflect/refract, ``refractive_index``
   and ``transmittance_color`` (declared fields, utilities.h:85-88).
 
+Textured albedo (beyond the reference, which stores per-vertex UVs it never
+shades with — utilities.h:156-166): diffuse albedo may come from a
+procedural checker or a bilinear-sampled image texture via the interpolated
+hit UV (``TEX_*`` kinds, :func:`textured_albedo`). Image texels are jnp
+arrays on the scene, so dL/d(texels) flows — textures are invertible too.
+
 Parameters live in a flat SoA table indexed by material id; every float leaf
 is differentiable (dL/d(albedo, emissive, intensity, ...) flows).
 """
@@ -35,11 +41,18 @@ class BxdfType(enum.IntEnum):
     GLASS = 3
 
 
+# Albedo texture kinds (tex_kind column).
+TEX_NONE = 0  # flat albedo
+TEX_CHECKER = 1  # procedural checker: albedo / checker_color, checker_scale
+TEX_IMAGE = 2  # bilinear image lookup: scene.textures[tex_id]
+
+
 @struct.dataclass
 class MaterialTable:
     """SoA material parameters; row i = material id i.
 
-    Field set mirrors BXDF's members (utilities.h:83-88).
+    Field set mirrors BXDF's members (utilities.h:83-88) plus the albedo
+    texture columns (tex_kind/tex_id/checker_*).
     """
 
     type: jnp.ndarray  # (M,) int32 — BxdfType
@@ -49,6 +62,10 @@ class MaterialTable:
     emissive_color: jnp.ndarray  # (M,3)
     intensity: jnp.ndarray  # (M,)
     transmittance_color: jnp.ndarray  # (M,3)
+    tex_kind: jnp.ndarray  # (M,) int32 — TEX_NONE/CHECKER/IMAGE
+    tex_id: jnp.ndarray  # (M,) int32 — row into scene.textures (TEX_IMAGE)
+    checker_color: jnp.ndarray  # (M,3) — the checker's second color
+    checker_scale: jnp.ndarray  # (M,) — checker cells per unit UV
 
     @property
     def num_materials(self) -> int:
@@ -62,6 +79,11 @@ def material_table(materials: list[dict]) -> MaterialTable:
     "specular_color": ..., "refractive_index": f, "emissive_color": ...,
     "intensity": f, "transmittance_color": ...}`` — unspecified fields default
     to the reference's sentinel-free sensible values.
+
+    Texture keys: ``"texture": "checker"`` with optional ``checker_color``
+    (default inverted albedo) and ``checker_scale`` (default 8 cells/UV
+    unit); ``"texture": "image"`` with ``texture_id`` = row in the scene's
+    texture stack (see scene.build_scene(textures=...)).
     """
     n = len(materials)
     typ = np.zeros((n,), np.int32)
@@ -71,6 +93,10 @@ def material_table(materials: list[dict]) -> MaterialTable:
     emissive = np.zeros((n, 3), np.float32)
     intensity = np.zeros((n,), np.float32)
     transmit = np.ones((n, 3), np.float32)
+    tex_kind = np.zeros((n,), np.int32)
+    tex_id = np.full((n,), -1, np.int32)
+    checker_color = np.zeros((n, 3), np.float32)
+    checker_scale = np.zeros((n,), np.float32)
     for i, m in enumerate(materials):
         t = m["type"].upper() if isinstance(m.get("type"), str) else m.get("type", "DIFFUSE")
         typ[i] = int(BxdfType[t] if isinstance(t, str) else t)
@@ -80,6 +106,18 @@ def material_table(materials: list[dict]) -> MaterialTable:
         emissive[i] = np.asarray(m.get("emissive_color", (0.0, 0.0, 0.0)), np.float32)
         intensity[i] = float(m.get("intensity", 0.0))
         transmit[i] = np.asarray(m.get("transmittance_color", (1.0, 1.0, 1.0)), np.float32)
+        tex = m.get("texture", "none")
+        if tex in ("checker", TEX_CHECKER):
+            tex_kind[i] = TEX_CHECKER
+            checker_color[i] = np.asarray(
+                m.get("checker_color", 1.0 - albedo[i]), np.float32
+            )
+            checker_scale[i] = float(m.get("checker_scale", 8.0))
+        elif tex in ("image", TEX_IMAGE):
+            tex_kind[i] = TEX_IMAGE
+            tex_id[i] = int(m.get("texture_id", 0))
+        elif tex not in ("none", TEX_NONE, None):
+            raise ValueError(f"unknown texture kind {tex!r}")
     return MaterialTable(
         type=jnp.asarray(typ),
         albedo=jnp.asarray(albedo),
@@ -88,7 +126,67 @@ def material_table(materials: list[dict]) -> MaterialTable:
         emissive_color=jnp.asarray(emissive),
         intensity=jnp.asarray(intensity),
         transmittance_color=jnp.asarray(transmit),
+        tex_kind=jnp.asarray(tex_kind),
+        tex_id=jnp.asarray(tex_id),
+        checker_color=jnp.asarray(checker_color),
+        checker_scale=jnp.asarray(checker_scale),
     )
+
+
+def textured_albedo(
+    base: jnp.ndarray,  # (R,3) gathered flat albedo
+    tex_kind: jnp.ndarray,  # (R,) int32
+    tex_id: jnp.ndarray,  # (R,) int32
+    checker_color: jnp.ndarray,  # (R,3)
+    checker_scale: jnp.ndarray,  # (R,)
+    uv: jnp.ndarray,  # (R,2) interpolated hit UV
+    textures: jnp.ndarray | None,  # (T, H, W, 3) stacked image textures or None
+) -> jnp.ndarray:
+    """Per-ray effective diffuse albedo — dense masked select over texture
+    kinds (same EP-analogue discipline as the material dispatch).
+
+    - TEX_CHECKER: ``albedo`` / ``checker_color`` on the parity of
+      ``floor(u·s) + floor(v·s)``.
+    - TEX_IMAGE: bilinear lookup into ``textures[tex_id]`` with wrap
+      addressing and half-texel centers; texels are differentiable (texture
+      recovery flows through this gather).
+
+    Fully vectorized: no per-lane branching; lanes of absent kinds select
+    their base albedo. UV convention: v = 0 is the image's BOTTOM row
+    (OBJ/GL convention; writers flip for row-major storage).
+    """
+    out = base
+    cu = jnp.floor(uv[:, 0] * checker_scale)
+    cv = jnp.floor(uv[:, 1] * checker_scale)
+    odd = jnp.mod(cu + cv, 2.0) >= 1.0
+    checker = jnp.where(odd[:, None], checker_color, base)
+    out = jnp.where((tex_kind == TEX_CHECKER)[:, None], checker, out)
+    if textures is not None:
+        t_rows, th, tw = textures.shape[0], textures.shape[1], textures.shape[2]
+        tid = jnp.clip(tex_id, 0, t_rows - 1)
+        # Wrap + half-texel centers; v flipped so v=0 is the bottom row.
+        fu = uv[:, 0] * tw - 0.5
+        fv = (1.0 - uv[:, 1]) * th - 0.5
+        u0 = jnp.floor(fu)
+        v0 = jnp.floor(fv)
+        du = (fu - u0)[:, None]
+        dv = (fv - v0)[:, None]
+        x0 = jnp.mod(u0.astype(jnp.int32), tw)
+        x1 = jnp.mod(x0 + 1, tw)
+        y0 = jnp.mod(v0.astype(jnp.int32), th)
+        y1 = jnp.mod(y0 + 1, th)
+        c00 = textures[tid, y0, x0]
+        c01 = textures[tid, y0, x1]
+        c10 = textures[tid, y1, x0]
+        c11 = textures[tid, y1, x1]
+        bil = (
+            c00 * (1 - du) * (1 - dv)
+            + c01 * du * (1 - dv)
+            + c10 * (1 - du) * dv
+            + c11 * du * dv
+        )
+        out = jnp.where((tex_kind == TEX_IMAGE)[:, None], bil, out)
+    return out
 
 
 def no_hit_color() -> jnp.ndarray:

@@ -78,6 +78,11 @@ class TriangleScene:
     two_sided: jnp.ndarray  # (N,) bool
     valid: jnp.ndarray  # (N,) bool — False on padding rows
     materials: MaterialTable
+    # Stacked image textures (T, H, W, 3) float32 for TEX_IMAGE materials
+    # (uniform size — loaders pad/resize); None when no images are used.
+    # A pytree leaf: texels are differentiable and ride along replicated in
+    # the sharded render paths.
+    textures: jnp.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -191,6 +196,7 @@ def build_scene(
     specs: Sequence[GeometrySpec],
     materials: MaterialTable | list[dict],
     pad_to_multiple: int = 512,
+    textures=None,
 ) -> TriangleScene:
     """Compile geometry specs into one flat world-space TriangleScene.
 
@@ -271,6 +277,9 @@ def build_scene(
             two_sided = jnp.concatenate([two_sided, padb])
             valid = jnp.concatenate([valid, padb])
 
+    if textures is not None:
+        textures = jnp.asarray(textures, jnp.float32)
+        assert textures.ndim == 4 and textures.shape[-1] == 3, textures.shape
     return TriangleScene(
         v0=v0, e1=e1, e2=e2, gn=gn, gn_ref=gn_ref,
         n0=n0, n1=n1, n2=n2,
@@ -278,6 +287,7 @@ def build_scene(
         geom_id=geom_id, mat_id=mat_id,
         two_sided=two_sided, valid=valid,
         materials=materials,
+        textures=textures,
     )
 
 

@@ -55,17 +55,34 @@ def compact_rays(o: jnp.ndarray, d: jnp.ndarray, alive: jnp.ndarray):
     return o_c, d_c, inv
 
 
-def compact_rays_coherent(o: jnp.ndarray, d: jnp.ndarray, alive: jnp.ndarray):
+def compact_rays_coherent(
+    o: jnp.ndarray, d: jnp.ndarray, alive: jnp.ndarray, key_mode: str = "dir"
+):
     """Compaction + coherence in ONE permutation.
 
-    Sort key (most-significant first): dead flag, direction octant, 12-bit
-    direction Morton, 12-bit origin Morton — live lanes pack to the front
-    AND group into sign-coherent, spatially local tiles, so the Pallas
-    kernel's interval frustum culling fires on incoherent secondary bounces
-    (218→95 ms measured at 640k fully-live incoherent rays on v5e). One
-    argsort replaces the two-cumsum partition; dead lanes park on the far
-    ray as in :func:`compact_rays`. ``jnp.argsort`` is stable, so equal-key
-    lanes keep ray order and the permutation is deterministic.
+    Two sort-key layouts (most-significant field first; both start with the
+    dead flag so live lanes pack to the front):
+
+    - ``"dir"``: direction octant, 12-bit direction Morton, 12-bit origin
+      Morton — tiles become sign-coherent with tightly bounded direction
+      boxes, so the interval frustum CULL fires (218→95 ms measured at 640k
+      fully-live incoherent rays on v5e). Right for long, open scenes where
+      rays fly far.
+    - ``"origin"``: 15-bit origin Morton, then octant, then 13-bit
+      direction Morton — tiles share a small origin box AND a direction
+      octant. The tight origin box makes the per-block conservative entry
+      distances MEANINGFUL (with "dir" ordering, scene-spanning origins
+      push every enter key to ~0 and front-to-back pruning dies), and the
+      octant keeps every direction interval sign-coherent so the slab
+      arithmetic stays finite. Right for closed/dense scenes with short
+      mean free paths — secondary bounces terminate on nearby geometry
+      after visiting only the closest few clusters.
+
+    One argsort replaces the two-cumsum partition; dead lanes park on the
+    far ray as in :func:`compact_rays`. ``jnp.argsort`` is stable, so
+    equal-key lanes keep ray order and the permutation is deterministic.
+    Per-lane results are position-independent, so images are bit-identical
+    across key modes (tested in tests/test_compaction.py).
 
     Returns ``(o_c, d_c, inv)``; gather results with ``res[inv]``.
     """
@@ -86,12 +103,20 @@ def compact_rays_coherent(o: jnp.ndarray, d: jnp.ndarray, alive: jnp.ndarray):
     lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
     hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
     om = _morton_codes(od, lo, hi)
-    key = (
-        ((~alive).astype(jnp.uint32) << 31)
-        | (octant << 28)
-        | ((dm >> 18) << 16)  # top 12 of 30 Morton bits
-        | ((om >> 18) << 4)
-    )
+    if key_mode == "origin":
+        key = (
+            ((~alive).astype(jnp.uint32) << 31)
+            | ((om >> 15) << 16)  # top 15 of 30 Morton bits
+            | (octant << 13)
+            | (dm >> 17)  # top 13
+        )
+    else:
+        key = (
+            ((~alive).astype(jnp.uint32) << 31)
+            | (octant << 28)
+            | ((dm >> 18) << 16)  # top 12 of 30 Morton bits
+            | ((om >> 18) << 4)
+        )
     perm = jnp.argsort(key)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=perm.dtype))
     dead_o = jnp.asarray(DEAD_ORIGIN, o.dtype)

@@ -79,6 +79,12 @@ class IntegratorOptions:
     # culling already handled by dead-lane compaction) — default off;
     # enable for large scenes with long-lived incoherent wavefronts.
     sort_rays: bool = False
+    # Sort-key layout for the coherence permutation (see ops/compaction.py
+    # compact_rays_coherent): "dir" (octant-major — open scenes, long rays)
+    # or "origin" (origin-Morton-major, octant minor — dense/closed scenes
+    # where secondary rays terminate nearby; keeps per-block entry keys
+    # meaningful so front-to-back early exit fires). Bit-identical images.
+    sort_key: str = "dir"
     # Dead-lane compaction: make dead lanes (miss / emitter / roulette) cost
     # ~nothing at the intersection kernel — wavefront compaction under static
     # shapes. Effective with the Pallas backend only (tile-level culling);
@@ -122,6 +128,13 @@ class IntegratorOptions:
     # for estimator A/B validation). Both are counter-based over logical
     # (seed, pixel, sample, stream) ids — layout/shard-invariant.
     rng: str = "pcg"
+    # Textured diffuse albedo (models/materials.py::textured_albedo): when
+    # True, hit UVs are resolved (need_uv) and diffuse albedo comes from
+    # the material's checker/image texture. Static so untextured scenes pay
+    # nothing (the UV interpolation + texture gathers compile away);
+    # renderer.narrow_settings flips it on automatically when a concrete
+    # scene's live materials reference a texture.
+    textured: bool = False
 
 
 def resolved_intersector(options: IntegratorOptions) -> str:
@@ -222,28 +235,34 @@ def make_occlusion_fn(
     return fallback
 
 
-def _gather_materials(scene: TriangleScene, mat_id):
+def _gather_materials(scene: TriangleScene, mat_id, textured: bool = False):
     """Per-ray material attributes via ONE row gather.
 
-    The material table is tiny (a handful of rows); packing its 15 scalars
-    into one (M, 15) matrix turns seven separate 640k-lane gathers per
-    bounce into a single row gather plus free slicing.
+    The material table is tiny (a handful of rows); packing its scalars
+    into one (M, 15|21) matrix turns the per-field 640k-lane gathers per
+    bounce into a single row gather plus free slicing. The texture columns
+    (kind, id, checker color/scale) ride along only when ``textured``.
     """
     m = scene.materials
-    table = jnp.concatenate(
-        [
-            m.type.astype(jnp.float32)[:, None],
-            m.albedo,
-            m.specular_color,
-            m.refractive_index[:, None],
-            m.emissive_color,
-            m.intensity[:, None],
-            m.transmittance_color,
-        ],
-        axis=-1,
-    )  # (M, 15)
-    g = table[mat_id]  # (R, 15)
-    return {
+    cols = [
+        m.type.astype(jnp.float32)[:, None],
+        m.albedo,
+        m.specular_color,
+        m.refractive_index[:, None],
+        m.emissive_color,
+        m.intensity[:, None],
+        m.transmittance_color,
+    ]
+    if textured:
+        cols += [
+            m.tex_kind.astype(jnp.float32)[:, None],
+            m.tex_id.astype(jnp.float32)[:, None],
+            m.checker_color,
+            m.checker_scale[:, None],
+        ]
+    table = jnp.concatenate(cols, axis=-1)  # (M, 15 [+6])
+    g = table[mat_id]  # (R, 15 [+6])
+    out = {
         "type": g[:, 0].astype(jnp.int32),
         "albedo": g[:, 1:4],
         "specular": g[:, 4:7],
@@ -252,6 +271,14 @@ def _gather_materials(scene: TriangleScene, mat_id):
         "intensity": g[:, 11],
         "transmittance": g[:, 12:15],
     }
+    if textured:
+        out.update(
+            tex_kind=g[:, 15].astype(jnp.int32),
+            tex_id=g[:, 16].astype(jnp.int32),
+            checker_color=g[:, 17:20],
+            checker_scale=g[:, 20],
+        )
+    return out
 
 
 def init_path_state(origins, directions, keys):
@@ -355,7 +382,11 @@ def make_bounce_fn(
             return Hit(t=h.t, tri=h.tri, hit=h.hit & mask)
         from gpupathtracer_tpu.ops.compaction import compact_rays, compact_rays_coherent
 
-        compact = compact_rays_coherent if options.sort_rays else compact_rays
+        compact = (
+            partial(compact_rays_coherent, key_mode=options.sort_key)
+            if options.sort_rays
+            else compact_rays
+        )
         o_c, d_c, inv = compact(o, d, mask)
         h = intersect_fn(o_c, d_c, scene)
         return Hit(t=h.t[inv], tri=h.tri[inv], hit=h.hit[inv] & mask)
@@ -380,12 +411,14 @@ def make_bounce_fn(
         mt_c = jnp.where(alive_c, mt[perm], 0.0)
         return occlude_fn(o_c, d_c, mt_c)[inv] & mask
 
+    textured = options.textured and has_diffuse
+
     def bounce(state, bounce_idx, compact_now=True):
         o, d, throughput, radiance, alive, prev_nee, prev_pdf, keys = state
         hit: Hit = masked_intersect(o, d, alive, compact_now)
         attrs = resolve_hits(
             o, d, scene, hit.tri,
-            need_sn=options.use_shading_normals, need_uv=False,
+            need_sn=options.use_shading_normals, need_uv=textured,
         )
         found = alive & hit.hit
         missed = alive & ~hit.hit
@@ -394,7 +427,20 @@ def make_bounce_fn(
         # the memset value — black; pink noHitColor is exposed via options).
         radiance = radiance + jnp.where(missed[:, None], throughput * background[None, :], 0.0)
 
-        mat = _gather_materials(scene, attrs.mat_id)
+        mat = _gather_materials(scene, attrs.mat_id, textured=textured)
+        if textured:
+            # Effective diffuse albedo from the hit UV (checker / image
+            # lookup) — the reference stores UVs it never consumes
+            # (utilities.h:156-166); here they finally do work.
+            from gpupathtracer_tpu.models.materials import textured_albedo
+
+            albedo = textured_albedo(
+                mat["albedo"], mat["tex_kind"], mat["tex_id"],
+                mat["checker_color"], mat["checker_scale"],
+                attrs.uv, scene.textures,
+            )
+        else:
+            albedo = mat["albedo"]
         false_lanes = jnp.zeros_like(found)
         is_emit = (mat["type"] == BxdfType.EMITTER) if has_emit else false_lanes
         is_diffuse = (mat["type"] == BxdfType.DIFFUSE) if has_diffuse else false_lanes
@@ -486,7 +532,7 @@ def make_bounce_fn(
                 * scene.materials.intensity[light_mat][:, None]
             )
             geom = jnp.maximum(cos_x, 0.0) * cos_y / dist2 * total_light_area
-            contrib = throughput * (mat["albedo"] / jnp.pi) * le_y * geom[:, None]
+            contrib = throughput * (albedo / jnp.pi) * le_y * geom[:, None]
             if mis:
                 # Balance heuristic vs the cosine BSDF sampler: the weight
                 # pair with the emitter-hit branch above sums to 1 for every
@@ -536,7 +582,7 @@ def make_bounce_fn(
             local = sampling.cosine_sample_hemisphere(u[:, 0], u[:, 1])
             d_diffuse = sampling.local_to_world(local, n_shade)
             new_d = jnp.where(is_diffuse[:, None], d_diffuse, new_d)
-            tp_factor = jnp.where(is_diffuse[:, None], mat["albedo"], tp_factor)
+            tp_factor = jnp.where(is_diffuse[:, None], albedo, tp_factor)
 
         scatter = found & ~is_emit
         new_throughput = jnp.where(scatter[:, None], throughput * tp_factor, throughput)

@@ -42,6 +42,7 @@ class RenderSettings:
     # Per-call ray sorting for bounce coherence (pallas backend only); see
     # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
     sort_rays: bool = False
+    sort_key: str = "dir"  # "dir" | "origin" (see IntegratorOptions.sort_key)
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
     compact_mode: str = "permute"  # "permute" | "mask" (see IntegratorOptions)
     kernel_precision: str = "auto"  # MXU pass precision (see IntegratorOptions)
@@ -50,6 +51,9 @@ class RenderSettings:
     # material_set). render_frame/render_samples narrow this automatically
     # for concrete scenes; absent material branches then compile away.
     material_set: tuple = (0, 1, 2, 3)
+    # Textured diffuse albedo (checker / image via hit UVs); auto-enabled by
+    # narrow_settings when a concrete scene's live materials use textures.
+    textured: bool = False
 
 
 def _integrator_options(s: RenderSettings) -> IntegratorOptions:
@@ -64,10 +68,12 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         intersector=s.intersector,
         estimator=s.estimator,
         sort_rays=s.sort_rays,
+        sort_key=s.sort_key,
         compact=s.compact,
         compact_mode=s.compact_mode,
         kernel_precision=s.kernel_precision,
         rng=s.rng,
+        textured=s.textured,
     )
 
 
@@ -97,9 +103,19 @@ def narrow_settings(scene: TriangleScene, settings: RenderSettings) -> RenderSet
     executable across scenes, or a superset for an A/B of the specialization
     — is respected. Shared by render_frame / render_samples /
     parallel.render_frame_distributed so the rule lives in one place.
+
+    Also flips ``textured`` on when any live material references a texture
+    (never off — a caller-set True is respected for traced-texture setups).
     """
     if isinstance(scene.v0, jax.core.Tracer):
         return settings
+    if not settings.textured:
+        import numpy as np
+
+        mat_id = np.asarray(scene.mat_id)[np.asarray(scene.valid)]
+        used = np.unique(mat_id) if mat_id.size else np.arange(0)
+        if (np.asarray(scene.materials.tex_kind)[used] > 0).any():
+            settings = dataclasses.replace(settings, textured=True)
     if tuple(settings.material_set) != _FULL_MATERIAL_SET:
         return settings
     return dataclasses.replace(settings, material_set=scene_material_set(scene))

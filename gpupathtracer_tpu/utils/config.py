@@ -133,19 +133,41 @@ def parse_config(cfg: dict, config_dir: str = "."):
         intersector=rnd.get("intersector", "auto"),
         estimator=rnd.get("estimator", "naive"),
         sort_rays=bool(rnd.get("sort_rays", False)),
+        sort_key=rnd.get("sort_key", "dir"),
         compact=bool(rnd.get("compact", True)),
         compact_mode=rnd.get("compact_mode", "permute"),
         kernel_precision=rnd.get("kernel_precision", "auto"),
         rng=rnd.get("rng", "pcg"),
     )
-    return specs, materials, camera, settings
+
+    # Image textures: [[textures]] file = "foo.ppm" entries stack into the
+    # scene's (T, H, W, 3) texture array (row order = texture_id); material
+    # dicts reference rows via texture = "image", texture_id = i.
+    textures = None
+    tex_cfgs = cfg.get("textures", [])
+    if tex_cfgs:
+        import numpy as np
+
+        from gpupathtracer_tpu.utils.image import read_ppm
+
+        imgs = []
+        for t in tex_cfgs:
+            img = read_ppm(_find_asset(t["file"], search_dirs)).astype(np.float32) / 255.0
+            imgs.append(img)
+        shapes = {im.shape for im in imgs}
+        assert len(shapes) == 1, f"texture sizes must match, got {shapes}"
+        textures = np.stack(imgs)
+    return specs, materials, camera, settings, textures
 
 
 def load_scene_file(path: str, pad_to_multiple: int | None = None):
     """Load a config file → (TriangleScene, Camera, RenderSettings)."""
     cfg = load_config(path)
-    specs, materials, camera, settings = parse_config(cfg, os.path.dirname(os.path.abspath(path)))
+    specs, materials, camera, settings, textures = parse_config(
+        cfg, os.path.dirname(os.path.abspath(path))
+    )
     scene = build_scene(
-        specs, materials, pad_to_multiple=pad_to_multiple or settings.tri_block
+        specs, materials, pad_to_multiple=pad_to_multiple or settings.tri_block,
+        textures=textures,
     )
     return scene, camera, settings

@@ -39,7 +39,7 @@ def test_material_name_resolution(tmp_path):
             {"kind": "plane", "material": "b"},
         ],
     }
-    specs, materials, camera, settings = parse_config(cfg, str(tmp_path))
+    specs, materials, camera, settings, _tex = parse_config(cfg, str(tmp_path))
     assert specs[0].mat_id == 1
 
 
