@@ -62,6 +62,10 @@ from gpupathtracer_tpu.ops.sampling import make_sampler
 from gpupathtracer_tpu.render.integrator import trace_paths
 from gpupathtracer_tpu.render.renderer import RenderSettings, _integrator_options, render_frame
 
+# Above this edge count, shadow_edge_gradient switches to the two-level
+# cluster hierarchy (EdgeClusters) automatically.
+_HIER_EDGE_THRESHOLD = 8192
+
 
 @dataclasses.dataclass(frozen=True)
 class EdgeTable:
@@ -126,6 +130,171 @@ def build_edge_table(scene: TriangleScene, native: bool = True) -> EdgeTable:
     corner = np.asarray([r[1] for r in edges.values()], np.int32)
     tri2 = np.asarray([r[2] for r in edges.values()], np.int32)
     return EdgeTable(tri1=tri1, corner=corner, tri2=tri2, two_sided=two[tri1])
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeClusters:
+    """Two-level edge hierarchy for per-shading-point silhouette sampling.
+
+    Edges are Morton-sorted by midpoint and grouped into fixed-size
+    clusters; each cluster carries conservative bounds sufficient to decide
+    "can this cluster contain a silhouette edge wrt point x" in O(1):
+
+    - componentwise bounds of the adjacent-face normals (``gn_lo``/``gn_hi``)
+      and of their plane constants ``dot(gn, v0)`` (``c_lo``/``c_hi``):
+      the sign interval of ``dot(gn_i, x) − c_i`` over the cluster's faces
+      decides all-front / all-back / mixed — only mixed clusters (or ones
+      holding boundary / two-sided-boundary edges) can silhouette;
+    - an endpoint AABB (``box_lo``/``box_hi``) whose angular size from x
+      proxies the cluster's total direction-chord for importance weighting.
+
+    Replaces the flat O(points × edges) classification
+    (``grad/edges.py`` round-3, VERDICT item 5) with
+    O(points × clusters + points × cluster_size): per point, one cluster is
+    sampled ∝ its conservative weight, then exact silhouette chords are
+    computed for that cluster's edges only. Conservativeness ⇒ every edge
+    with a nonzero true chord has nonzero pick probability ⇒ the estimator
+    stays unbiased; the hierarchy affects variance only.
+    """
+
+    size: int  # edges per cluster (last cluster padded with -1)
+    edge_ids: np.ndarray  # (C, size) int32, -1 padding
+    gn_lo: np.ndarray  # (C, 3)
+    gn_hi: np.ndarray  # (C, 3)
+    c_lo: np.ndarray  # (C,)
+    c_hi: np.ndarray  # (C,)
+    box_lo: np.ndarray  # (C, 3) endpoint AABB
+    box_hi: np.ndarray  # (C, 3)
+    count: np.ndarray  # (C,) real edges
+    has_boundary: np.ndarray  # (C,) bool — one-sided boundary edges present
+    has_two_boundary: np.ndarray  # (C,) bool — two-sided boundary edges present
+
+    @property
+    def num_clusters(self) -> int:
+        return self.edge_ids.shape[0]
+
+
+def build_edge_clusters(
+    scene: TriangleScene, table: EdgeTable, cluster_size: int = 256
+) -> EdgeClusters:
+    """Host-side cluster build (topology-static, like the edge table)."""
+    v0 = np.asarray(scene.v0)
+    e1 = np.asarray(scene.e1)
+    e2 = np.asarray(scene.e2)
+    gn = np.asarray(scene.gn)
+    tri1, corner, tri2 = table.tri1, table.corner, table.tri2
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T,3,3)
+    e_idx = np.arange(table.num_edges)
+    va = pts[tri1, corner]
+    vb = pts[tri1, (corner + 1) % 3]
+    mid = 0.5 * (va + vb)
+
+    lo, hi = mid.min(0), mid.max(0)
+    span = np.maximum(hi - lo, 1e-12)
+    q = np.clip((mid - lo) / span * 1023.0, 0, 1023).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    codes = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    e = table.num_edges
+    c = -(-e // cluster_size)
+    ids = np.full((c, cluster_size), -1, np.int32)
+    ids.ravel()[:e] = order
+    gn_lo = np.zeros((c, 3), np.float32)
+    gn_hi = np.zeros((c, 3), np.float32)
+    c_lo = np.zeros((c,), np.float32)
+    c_hi = np.zeros((c,), np.float32)
+    box_lo = np.zeros((c, 3), np.float32)
+    box_hi = np.zeros((c, 3), np.float32)
+    count = np.zeros((c,), np.int32)
+    has_b = np.zeros((c,), bool)
+    has_tb = np.zeros((c,), bool)
+    two = table.two_sided
+    for ci in range(c):
+        sel = ids[ci][ids[ci] >= 0]
+        count[ci] = sel.size
+        faces = np.concatenate([tri1[sel], tri2[sel][tri2[sel] >= 0]])
+        n = gn[faces]
+        const = np.einsum("fk,fk->f", n, v0[faces])
+        gn_lo[ci], gn_hi[ci] = n.min(0), n.max(0)
+        c_lo[ci], c_hi[ci] = const.min(), const.max()
+        ep = np.concatenate([va[sel], vb[sel]])
+        box_lo[ci], box_hi[ci] = ep.min(0), ep.max(0)
+        bnd = tri2[sel] < 0
+        has_b[ci] = bool((bnd & ~two[sel]).any())
+        has_tb[ci] = bool((bnd & two[sel]).any())
+    return EdgeClusters(
+        size=cluster_size, edge_ids=ids, gn_lo=gn_lo, gn_hi=gn_hi,
+        c_lo=c_lo, c_hi=c_hi, box_lo=box_lo, box_hi=box_hi, count=count,
+        has_boundary=has_b, has_two_boundary=has_tb,
+    )
+
+
+def _pick_edges_hierarchical(scene, table, clusters: EdgeClusters, x, va, vb, key):
+    """Sample one candidate silhouette edge per shading point through the
+    cluster hierarchy. Returns ``(pick, q)``: edge ids (clamped ≥ 0) and
+    the total pick probability (0 ⇒ wasted sample, masked by the caller).
+    """
+    m = x.shape[0]
+    k_c, k_e = jax.random.split(key)
+    gl = jnp.asarray(clusters.gn_lo)
+    gh = jnp.asarray(clusters.gn_hi)
+    # Sign interval of dot(gn_i, x) − c_i over the cluster's faces.
+    prod_lo = jnp.sum(jnp.minimum(gl[None] * x[:, None], gh[None] * x[:, None]), -1)
+    prod_hi = jnp.sum(jnp.maximum(gl[None] * x[:, None], gh[None] * x[:, None]), -1)
+    lower = prod_lo - jnp.asarray(clusters.c_hi)[None]
+    upper = prod_hi - jnp.asarray(clusters.c_lo)[None]
+    mixed = (lower < 0) & (upper > 0)
+    possible = (
+        mixed
+        | (jnp.asarray(clusters.has_boundary)[None] & (upper > 0))
+        | jnp.asarray(clusters.has_two_boundary)[None]
+    )
+    center = jnp.asarray(0.5 * (clusters.box_lo + clusters.box_hi))
+    radius = jnp.asarray(0.5 * np.linalg.norm(clusters.box_hi - clusters.box_lo, axis=-1))
+    dist = jnp.linalg.norm(x[:, None] - center[None], axis=-1)
+    ang = jnp.clip(radius[None] / jnp.maximum(dist, radius[None] + 1e-12), 1e-3, 1.0)
+    w_c = possible * ang * jnp.asarray(clusters.count, jnp.float32)[None]  # (M,C)
+    tot_c = jnp.sum(w_c, axis=-1)
+    logits_c = jnp.where(w_c > 0, jnp.log(jnp.maximum(w_c, 1e-30)), -jnp.inf)
+    logits_c = jnp.where(tot_c[:, None] > 0, logits_c, jnp.zeros_like(logits_c))
+    ci = jax.random.categorical(k_c, logits_c, axis=-1)  # (M,)
+    q_c = jnp.take_along_axis(w_c, ci[:, None], -1)[:, 0] / jnp.maximum(tot_c, 1e-30)
+
+    # Exact silhouette chords for the chosen cluster's edges only.
+    eid = jnp.asarray(clusters.edge_ids)[ci]  # (M, size)
+    valid_e = eid >= 0
+    e0 = jnp.maximum(eid, 0)
+    tri1 = jnp.asarray(table.tri1)[e0]
+    tri2 = jnp.asarray(table.tri2)[e0]
+    two = jnp.asarray(table.two_sided)[e0]
+    f1 = jnp.einsum("msk,msk->ms", scene.gn[tri1], x[:, None] - scene.v0[tri1]) > 0
+    boundary = tri2 < 0
+    t2c = jnp.maximum(tri2, 0)
+    f2 = jnp.where(
+        boundary, f1, jnp.einsum("msk,msk->ms", scene.gn[t2c], x[:, None] - scene.v0[t2c]) > 0
+    )
+    sil = jnp.where(boundary, f1 | two, f1 != f2) & valid_e
+    wa = va[e0] - x[:, None]
+    wb = vb[e0] - x[:, None]
+    wa = wa / jnp.maximum(jnp.linalg.norm(wa, axis=-1, keepdims=True), 1e-12)
+    wb = wb / jnp.maximum(jnp.linalg.norm(wb, axis=-1, keepdims=True), 1e-12)
+    chord = jnp.linalg.norm(wa - wb, axis=-1) * sil  # (M, size)
+    tot_e = jnp.sum(chord, axis=-1)
+    logits_e = jnp.where(chord > 0, jnp.log(jnp.maximum(chord, 1e-30)), -jnp.inf)
+    logits_e = jnp.where(tot_e[:, None] > 0, logits_e, jnp.zeros_like(logits_e))
+    pe = jax.random.categorical(k_e, logits_e, axis=-1)  # (M,)
+    q_e = jnp.take_along_axis(chord, pe[:, None], -1)[:, 0] / jnp.maximum(tot_e, 1e-30)
+    pick = jnp.take_along_axis(e0, pe[:, None], -1)[:, 0]
+    q = jnp.where((tot_c > 0) & (tot_e > 0), q_c * q_e, 0.0)
+    return pick, q
 
 
 def edge_endpoints(scene: TriangleScene, tri1, corner):
@@ -316,6 +485,7 @@ def shadow_edge_gradient(
     n_samples: int = 512,
     eps: float = 1e-3,
     chunk: int = 128,
+    clusters: EdgeClusters | None = None,
 ):
     """Boundary-term gradient from SHADOW silhouettes at the first diffuse
     vertex — the NEE visibility discontinuity (SURVEY.md §7.3's second term).
@@ -338,9 +508,15 @@ def shadow_edge_gradient(
 
     The boundary of the integral is estimator-independent, so computing it
     in the solid-angle domain stays correct even though the interior NEE
-    estimator samples light area. Deeper-bounce shadow boundaries and
-    per-x edge hierarchies (needed for >10⁴-edge scenes) are future work;
-    see tests/test_edges.py::test_shadow_edge_gradient_fd.
+    estimator samples light area.
+
+    Scaling: the flat per-(x, edge) classification is O(M·E); above
+    ``_HIER_EDGE_THRESHOLD`` edges (or when ``clusters`` is passed) the
+    two-level hierarchy (:class:`EdgeClusters`) cuts it to
+    O(M·C + M·cluster_size) — same estimator, unbiased by construction
+    (conservative cluster tests), validated on a >10⁴-edge scene in
+    tests/test_edges.py. Deeper-bounce shadow boundaries remain future
+    work; see test_shadow_edge_gradient_fd.
     """
     from gpupathtracer_tpu.models.materials import BxdfType
     from gpupathtracer_tpu.ops.intersect import resolve_hits
@@ -371,35 +547,43 @@ def shadow_edge_gradient(
     n_x = attrs.gn * jnp.where(facing == 0.0, 1.0, facing)
     albedo = scene.materials.albedo[attrs.mat_id]
 
-    # Per-(x, edge) silhouette classification + chord weights, chunked.
-    def front_wrt(t, xs):  # (C, E)
-        return jnp.einsum("ek,cek->ce", scene.gn[t], xs[:, None, :] - scene.v0[t][None]) > 0
-
-    picks, qs, svals = [], [], []
     m = n_samples
-    for c0 in range(0, m, chunk):
-        xs = x[c0 : c0 + chunk]
-        f1 = front_wrt(tri1, xs)
-        boundary = (tri2 < 0)[None, :]
-        f2 = jnp.where(boundary, f1, front_wrt(jnp.maximum(tri2, 0), xs))
-        sil = jnp.where(boundary, f1 | two[None, :], f1 != f2)
-        wa_dir = va[None] - xs[:, None]
-        wb_dir = vb[None] - xs[:, None]
-        wa_dir = wa_dir / jnp.maximum(jnp.linalg.norm(wa_dir, axis=-1, keepdims=True), 1e-12)
-        wb_dir = wb_dir / jnp.maximum(jnp.linalg.norm(wb_dir, axis=-1, keepdims=True), 1e-12)
-        chord_c = jnp.linalg.norm(wa_dir - wb_dir, axis=-1) * sil
-        total_c = jnp.sum(chord_c, axis=-1, keepdims=True)
-        logits = jnp.where(chord_c > 0, jnp.log(jnp.maximum(chord_c, 1e-30)), -jnp.inf)
-        logits = jnp.where(total_c > 0, logits, jnp.zeros_like(logits))
-        kc = jax.random.fold_in(k_pick, c0)
-        pk = jax.random.categorical(kc, logits, axis=-1)
-        q = jnp.take_along_axis(chord_c, pk[:, None], axis=-1)[:, 0] / jnp.maximum(
-            total_c[:, 0], 1e-30
+    if clusters is None and table.num_edges > _HIER_EDGE_THRESHOLD:
+        clusters = build_edge_clusters(scene, table)
+    if clusters is not None:
+        pick, q_pick = _pick_edges_hierarchical(
+            scene, table, clusters, x, va, vb, k_pick
         )
-        picks.append(pk)
-        qs.append(q)
-    pick = jnp.concatenate(picks)
-    q_pick = jnp.concatenate(qs)
+    else:
+        # Flat per-(x, edge) silhouette classification + chord weights,
+        # chunked to bound the (M, E) intermediates.
+        def front_wrt(t, xs):  # (C, E)
+            return jnp.einsum("ek,cek->ce", scene.gn[t], xs[:, None, :] - scene.v0[t][None]) > 0
+
+        picks, qs = [], []
+        for c0 in range(0, m, chunk):
+            xs = x[c0 : c0 + chunk]
+            f1 = front_wrt(tri1, xs)
+            boundary = (tri2 < 0)[None, :]
+            f2 = jnp.where(boundary, f1, front_wrt(jnp.maximum(tri2, 0), xs))
+            sil = jnp.where(boundary, f1 | two[None, :], f1 != f2)
+            wa_dir = va[None] - xs[:, None]
+            wb_dir = vb[None] - xs[:, None]
+            wa_dir = wa_dir / jnp.maximum(jnp.linalg.norm(wa_dir, axis=-1, keepdims=True), 1e-12)
+            wb_dir = wb_dir / jnp.maximum(jnp.linalg.norm(wb_dir, axis=-1, keepdims=True), 1e-12)
+            chord_c = jnp.linalg.norm(wa_dir - wb_dir, axis=-1) * sil
+            total_c = jnp.sum(chord_c, axis=-1, keepdims=True)
+            logits = jnp.where(chord_c > 0, jnp.log(jnp.maximum(chord_c, 1e-30)), -jnp.inf)
+            logits = jnp.where(total_c > 0, logits, jnp.zeros_like(logits))
+            kc = jax.random.fold_in(k_pick, c0)
+            pk = jax.random.categorical(kc, logits, axis=-1)
+            q = jnp.take_along_axis(chord_c, pk[:, None], axis=-1)[:, 0] / jnp.maximum(
+                total_c[:, 0], 1e-30
+            )
+            picks.append(pk)
+            qs.append(q)
+        pick = jnp.concatenate(picks)
+        q_pick = jnp.concatenate(qs)
     s = jax.random.uniform(k_s, (m,))
 
     va_p, vb_p = va[pick], vb[pick]

@@ -68,15 +68,18 @@ def compact_rays_coherent(
       boxes, so the interval frustum CULL fires (218→95 ms measured at 640k
       fully-live incoherent rays on v5e). Right for long, open scenes where
       rays fly far.
-    - ``"origin"``: 15-bit origin Morton, then octant, then 13-bit
-      direction Morton — tiles share a small origin box AND a direction
-      octant. The tight origin box makes the per-block conservative entry
+    - ``"origin"``: octant, then 15-bit origin Morton, then 13-bit
+      direction Morton — tiles are octant-PURE (sign-coherent direction
+      intervals ⇒ finite slab arithmetic) AND share a small origin box.
+      The tight origin box makes the per-block conservative entry
       distances MEANINGFUL (with "dir" ordering, scene-spanning origins
-      push every enter key to ~0 and front-to-back pruning dies), and the
-      octant keeps every direction interval sign-coherent so the slab
-      arithmetic stays finite. Right for closed/dense scenes with short
-      mean free paths — secondary bounces terminate on nearby geometry
-      after visiting only the closest few clusters.
+      push every enter key to ~0 and front-to-back pruning dies). Right
+      for closed/dense scenes with short mean free paths — secondary
+      bounces terminate on nearby geometry after visiting only the
+      closest few clusters. (Octant must sit ABOVE the origin bits: with
+      ~20 rays per 15-bit Morton cell, an origin-major key would pack
+      several cells × all 8 octants into one 128-lane tile and the
+      direction intervals would straddle zero again.)
 
     One argsort replaces the two-cumsum partition; dead lanes park on the
     far ray as in :func:`compact_rays`. ``jnp.argsort`` is stable, so
@@ -106,8 +109,8 @@ def compact_rays_coherent(
     if key_mode == "origin":
         key = (
             ((~alive).astype(jnp.uint32) << 31)
-            | ((om >> 15) << 16)  # top 15 of 30 Morton bits
-            | (octant << 13)
+            | (octant << 28)
+            | ((om >> 15) << 13)  # top 15 of 30 Morton bits
             | (dm >> 17)  # top 13
         )
     else:

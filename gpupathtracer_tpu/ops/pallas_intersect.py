@@ -371,6 +371,19 @@ def tile_block_mask(o, d, packed: PackedScene, ray_tile: int, alive=None):
     t_lo = jnp.maximum(t_lo, 0.0)
     enter = jnp.max(t_lo, axis=-1)
     exit_ = jnp.min(t_hi, axis=-1)
+    # Directions are UNIT vectors, so hit distance t is also euclidean
+    # distance — the box-to-box distance between the tile's origin box and
+    # the block AABB is a second valid lower bound, and a far TIGHTER one
+    # when the tile's direction intervals are wide (incoherent bounces):
+    # interval division by d ∈ [~0, 1] collapses t_lo toward 0, while the
+    # geometric distance is direction-independent. max of both keeps the
+    # front-to-back ordering sharp and lets the in-kernel early exit stop
+    # at "every live lane has a hit nearer than any remaining block".
+    gap = jnp.maximum(
+        jnp.maximum(n_lo, -(n_hi)), 0.0
+    )  # per-axis separation: max(blk_lo - o_hi, o_lo - blk_hi, 0)
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1))
+    enter = jnp.maximum(enter, dist)
     hit_possible = (enter <= exit_) & (packed.block_live[None, :] > 0)
     if tile_live is not None:
         hit_possible &= tile_live[:, None]
@@ -1010,6 +1023,10 @@ def intersect_pallas(
     alive: jnp.ndarray | None = None,
 ) -> Hit:
     """Closest hit of rays (R,3) against the packed scene. See module doc.
+
+    ``d`` must be UNIT directions (every producer in the framework
+    normalizes): the scheduler's front-to-back entry keys use euclidean
+    box distance as a lower bound on hit t, which only holds for ‖d‖ = 1.
 
     Returned ``tri`` indices are original scene rows (tri_map applied), so
     downstream attribute resolution (ops/intersect.py::resolve_hits) is

@@ -269,3 +269,179 @@ def test_silhouette_recovery_beats_detached():
         losses.append(float(loss))
     assert abs(float(s) - true_s) < 0.05, (float(s), losses[::8])
     assert losses[-1] < losses[0] * 0.2
+
+
+def test_edge_clusters_cover_all_edges():
+    from gpupathtracer_tpu.grad.edges import build_edge_clusters
+    from gpupathtracer_tpu.models.scene import icosphere
+
+    sphere = icosphere(3)
+    scene = build_scene([mesh_spec(sphere)], [BLACK], pad_to_multiple=8)
+    table = build_edge_table(scene)
+    clusters = build_edge_clusters(scene, table, cluster_size=64)
+    ids = clusters.edge_ids[clusters.edge_ids >= 0]
+    assert sorted(ids.tolist()) == list(range(table.num_edges))
+    assert int(clusters.count.sum()) == table.num_edges
+    # Conservative bounds really bound: every edge's adjacent-face plane
+    # constant lies inside its cluster's [c_lo, c_hi].
+    import numpy as np_
+
+    gn = np_.asarray(scene.gn)
+    v0 = np_.asarray(scene.v0)
+    for ci in range(clusters.num_clusters):
+        sel = clusters.edge_ids[ci][clusters.edge_ids[ci] >= 0]
+        faces = np_.concatenate(
+            [table.tri1[sel], table.tri2[sel][table.tri2[sel] >= 0]]
+        )
+        c = np_.einsum("fk,fk->f", gn[faces], v0[faces])
+        assert c.min() >= clusters.c_lo[ci] - 1e-6
+        assert c.max() <= clusters.c_hi[ci] + 1e-6
+        assert (gn[faces].min(0) >= clusters.gn_lo[ci] - 1e-6).all()
+        assert (gn[faces].max(0) <= clusters.gn_hi[ci] + 1e-6).all()
+
+
+def test_shadow_edge_gradient_hierarchical_fd():
+    """The cluster-hierarchy sampler is the same unbiased estimator as the
+    flat path: rerun the shadow-FD scene with tiny forced clusters and
+    assert the FD match (VERDICT r3 item 5)."""
+    from gpupathtracer_tpu.grad.edges import build_edge_clusters, shadow_edge_gradient
+
+    GREY = {"type": "diffuse", "albedo": (0.6, 0.6, 0.6)}
+
+    def scene_fn(s):
+        occ = GeometrySpec(
+            vertices=jnp.asarray(QUAD) * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.asarray([0.0, 1.5, 0.0]),
+            rotation_deg=jnp.asarray([90.0, 0.0, 0.0]),
+            scale=jnp.ones(3),
+            mat_id=2,
+            two_sided=True,
+        )
+        floor = plane_spec((0.0, 0.0, 0.0), (90.0, 0.0, 0.0), (6.0, 6.0, 6.0), mat_id=0)
+        light = plane_spec((0.0, 3.0, 0.0), (90.0, 0.0, 0.0), (1.5, 1.5, 1.5), mat_id=1)
+        return build_scene(
+            [floor, light, occ],
+            [GREY, {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 6.0}, BLACK],
+            pad_to_multiple=8,
+        )
+
+    cam = Camera.create(
+        position=(0.0, 1.0, 4.5), pitch=-25.0, fov_deg=35.0, width=48, height=48
+    )
+    settings = RenderSettings(
+        width=48, height=48, spp=16, bounces=2, tri_block=8,
+        estimator="nee", intersector="brute", jitter=True,
+    )
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    def loss(s):
+        return float(image_loss(render_frame(scene_fn(s), cam, settings)))
+
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    clusters = build_edge_clusters(scene0, table, cluster_size=4)  # force multi-cluster
+    assert clusters.num_clusters > 2
+    cot = jax.grad(image_loss)(render_frame(scene0, cam, settings))
+    g_shadow = float(
+        shadow_edge_gradient(
+            scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+            jax.random.PRNGKey(13), n_samples=4096, clusters=clusters,
+        )
+    )
+    g_detached = float(
+        jax.grad(lambda s: image_loss(render_frame(scene_fn(s), cam, settings)))(jnp.float32(1.0))
+    )
+    h = 0.1
+    fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
+    assert fd < 0
+    np.testing.assert_allclose(g_shadow + g_detached, fd, rtol=0.3)
+
+
+@pytest.mark.slow
+def test_primary_edge_gradient_fd_10k_edges():
+    """FD-validated vertex (scale) gradient on a >10k-edge scene (VERDICT
+    r3 item 5 'done' bar): icosphere(4) instanced twice = 15,360 edges of
+    silhouette-rich geometry against an emitter backdrop."""
+    from gpupathtracer_tpu.models.scene import icosphere
+
+    sphere = icosphere(4)  # 5,120 tris, 7,680 edges per instance
+
+    def scene_fn(s):
+        def inst(px):
+            return GeometrySpec(
+                vertices=jnp.asarray(sphere.vertices) * s,
+                normals=jnp.asarray(sphere.normals),
+                uvs=jnp.asarray(sphere.uvs),
+                position=jnp.asarray([px, 0.0, 0.0]),
+                rotation_deg=jnp.zeros(3),
+                scale=jnp.ones(3),
+                mat_id=0,
+            )
+
+        backdrop = plane_spec((0.0, 0.0, -2.0), (0.0, 0.0, 0.0), (14.0, 10.0, 1.0), mat_id=1)
+        return build_scene(
+            [inst(-1.6), inst(1.6), backdrop], [BLACK, EMITTER], pad_to_multiple=128
+        )
+
+    cam = Camera.create(position=(0.0, 0.0, 6.0), fov_deg=45.0, width=48, height=48)
+    settings = RenderSettings(
+        width=48, height=48, spp=4, bounces=1, tri_block=128, jitter=True,
+        intersector="plucker",
+    )
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    assert table.num_edges >= 10_000
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    def loss(s):
+        return float(image_loss(render_frame(scene_fn(s), cam, settings)))
+
+    cot = jax.grad(image_loss)(render_frame(scene0, cam, settings))
+    g_edge = float(
+        primary_edge_gradient(
+            scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+            jax.random.PRNGKey(5), n_samples=4096, trace_spp=2,
+        )
+    )
+    h = 0.05
+    fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
+    # Growing black spheres covers more emitter: loss falls; the boundary
+    # term carries essentially all of it (black-on-emitter silhouettes).
+    assert fd < 0
+    np.testing.assert_allclose(g_edge, fd, rtol=0.25)
+
+
+def test_near_plane_edges_dropped_bias_bounded():
+    """Edges crossing the near plane are excluded from the boundary term
+    (grad/edges.py 'usable' mask — documented bias): on a scene whose ONLY
+    silhouettes cross the camera plane, the boundary term is exactly 0."""
+    def scene_fn(s):
+        # A long wall passing THROUGH the camera plane toward the horizon.
+        wall = GeometrySpec(
+            vertices=jnp.asarray(QUAD) * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.asarray([0.3, 0.0, 5.0]),
+            rotation_deg=jnp.asarray([0.0, 90.0, 0.0]),
+            scale=jnp.asarray([20.0, 1.0, 1.0]),  # spans z in front AND behind
+            mat_id=0,
+            two_sided=True,
+        )
+        return build_scene([wall], [BLACK], pad_to_multiple=8)
+
+    cam = Camera.create(position=(0.0, 0.0, 5.0), fov_deg=60.0, width=16, height=16)
+    settings = RenderSettings(width=16, height=16, spp=2, bounces=1, tri_block=8)
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    cot = jnp.ones((16, 16, 3), jnp.float32)
+    g = primary_edge_gradient(
+        scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+        jax.random.PRNGKey(1), n_samples=256, trace_spp=1,
+    )
+    assert float(g) == 0.0
