@@ -51,6 +51,7 @@ CONFIG_SUITE = [
     ("config4_occlusion.toml", 4, None),
     ("config5_invert_target.toml", 8, None),
     ("config6_bigscene.toml", 2, None),
+    ("config7_hugescene.toml", 1, None),
 ]
 
 

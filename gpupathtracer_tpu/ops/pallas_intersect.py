@@ -522,9 +522,10 @@ RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
 # the HBM→VMEM DMA both work at cluster granularity. Small clusters =
 # fine-grained front-to-back early exit (the round-3 16×-per-segment gap on
 # config6 was mostly 2.7 MB clusters: one "visit" fetched AND mostly
-# computed 65 blocks); the floor is DMA efficiency — clusters of a few
-# hundred KB keep the double-buffered pipeline ahead of the epilogue.
-CLUSTER_TARGET_BYTES = 256 * 1024
+# computed 65 blocks); the floor is per-iteration overhead — larger
+# clusters amortize the DMA wait + loop control over more blocks (measured
+# config6, origin-sorted: 256 KB → 5.67 s, 512 KB → 5.35 s frame).
+CLUSTER_TARGET_BYTES = 512 * 1024
 
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
@@ -541,7 +542,7 @@ def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
 
 
 def _kernel_streamed(
-    order_ref, enter_ref, feats_ref, alive_ref, blkmask_ref, w_hbm_ref,
+    order_ref, enter_ref, enterblk_ref, feats_ref, alive_ref, w_hbm_ref,
     best_t_ref, best_i_ref, scratch_ref, bt_s, bi_s, sem_ref,
     *, tb: int, nb: int, nc: int, bpc: int, precision: str = "highest",
 ):
@@ -556,13 +557,15 @@ def _kernel_streamed(
     the reference's O(pixels × tris) scaling (kernel.cu:133-156) broken at
     the memory system too, not just in FLOPs.
 
-    Within a DMA'd cluster, per-(tile, BLOCK) culling still applies: the
-    frustum pre-pass packs its block-granular skip mask into bit words
-    (32 blocks/word, streamed to SMEM per tile), and blocks whose bit is 0
-    skip the matmul+epilogue entirely under ``@pl.when`` — the cluster
-    schedule bounds DMA traffic, the bitmask bounds compute. The running
-    (best_t, best_i) lives in VMEM scratch so the conditional update is a
-    plain stateful write (no wide vector carried through scf.if).
+    Within a DMA'd cluster, per-(tile, BLOCK) skipping still applies:
+    ``enterblk_ref`` streams the tile's per-block conservative entry keys
+    to SMEM (+inf = frustum-culled), and a block is computed only when its
+    key beats the tile's running worst best-t — the cluster schedule bounds
+    DMA traffic, the per-block keys bound compute INCLUDING front-to-back
+    termination mid-cluster (tighter than the round-3 bitmask, which only
+    encoded the frustum bit). The running (best_t, best_i) lives in VMEM
+    scratch so the conditional update is a plain stateful write (no wide
+    vector carried through scf.if).
 
     Dead-lane handling matches _kernel_resident: alive 0 ⇒ best_t = -inf.
     """
@@ -596,7 +599,7 @@ def _kernel_streamed(
         return (j < nc) & (enter_ref[0, 0, j] < worst)
 
     def body(state):
-        j, _worst = state
+        j, worst = state
         slot = jax.lax.rem(j, 2)
 
         # Prefetch the next scheduled cluster while this one is in flight.
@@ -612,13 +615,13 @@ def _kernel_streamed(
 
         # Statically unrolled over the cluster's blocks (a lax.fori_loop
         # nested in the while_loop trips a Mosaic layout-pass crash, like
-        # the rank-4 scratch indexing; bpc is a small static int).
+        # the rank-4 scratch indexing; bpc is a small static int). Using
+        # the loop-carried ``worst`` (from the previous cluster) as the
+        # per-block bound is conservative-correct: best_t only decreases.
         for b in range(bpc):
             blk = c * bpc + b
-            word = blkmask_ref[0, 0, jax.lax.shift_right_logical(blk, 5)]
-            bit = jax.lax.shift_right_logical(word, jax.lax.rem(blk, 32)) & 1
 
-            @pl.when(bit != 0)
+            @pl.when(enterblk_ref[0, 0, blk] < worst)
             def _(b=b, blk=blk, slot=slot):
                 s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)
                 s0 = s[:, 0 * tb : 1 * tb]
@@ -652,13 +655,12 @@ def _kernel_streamed(
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
-def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+def _launch_streamed(order, enter, enter_blk, feats, alive, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
     nc = nb // bpc  # caller pads w to a bpc multiple
-    nbw = blkmask.shape[-1]
 
     best_t, best_i = pl.pallas_call(
         functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision),
@@ -666,10 +668,10 @@ def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc:
         in_specs=[
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            # Per-tile per-BLOCK conservative entry keys (+inf = culled).
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # Per-tile block-granular cull bits (32 blocks per int32 word).
-            pl.BlockSpec((1, 1, nbw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             # Whole packed scene stays in HBM; clusters are DMA'd manually.
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -694,22 +696,10 @@ def _launch_streamed(order, enter, feats, alive, blkmask, w, ray_tile: int, bpc:
         ),
         interpret=interpret,
     )(
-        order[:, None, :], enter[:, None, :], feats,
-        alive.reshape(rt, 1, ray_tile), blkmask[:, None, :], w,
+        order[:, None, :], enter[:, None, :], enter_blk[:, None, :], feats,
+        alive.reshape(rt, 1, ray_tile), w,
     )
     return best_t.reshape(-1), best_i.reshape(-1)
-
-
-def _pack_mask_bits(mask: jnp.ndarray) -> jnp.ndarray:
-    """Pack a (rt, nb) 0/1 int mask into (rt, ceil(nb/32)) int32 bit words
-    (block b → bit b%32 of word b//32)."""
-    rt, nbp = mask.shape
-    pad = (-nbp) % 32
-    if pad:
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    m = mask.reshape(rt, -1, 32).astype(jnp.uint32)
-    words = jnp.sum(m << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1)
-    return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
 def _pad_blocks(packed: PackedScene, bpc: int) -> PackedScene:
@@ -807,13 +797,13 @@ def _launch_occlusion(order, enter, feats, maxt, w, ray_tile: int, interpret: bo
 
 
 def _kernel_occlusion_streamed(
-    order_ref, enter_ref, feats_ref, maxt_ref, blkmask_ref, w_hbm_ref, occ_ref,
+    order_ref, enter_ref, enterblk_ref, feats_ref, maxt_ref, w_hbm_ref, occ_ref,
     scratch_ref, occ_s, sem_ref, *, tb: int, nb: int, nc: int, bpc: int,
     precision: str = "highest",
 ):
     """Any-hit kernel for scenes beyond the VMEM budget: the cluster-DMA
     streaming structure of _kernel_streamed (double-buffered HBM→VMEM,
-    front-to-back cluster schedule, per-block bitmask skip) with the
+    front-to-back cluster schedule, per-block entry-key skip) with the
     division-free any-hit acceptance of _kernel_occlusion. The loop stops
     once every lane is occluded or has no remaining cluster nearer than its
     cutoff; occlusion flags live in int32 VMEM scratch (wide i1 carries
@@ -840,7 +830,7 @@ def _kernel_occlusion_streamed(
         return (j < nc) & (enter_ref[0, 0, j] < bound)
 
     def body(state):
-        j, _bound = state
+        j, bound = state
         slot = jax.lax.rem(j, 2)
 
         @pl.when((j + 1 < nc) & (enter_ref[0, 0, j + 1] < INF))
@@ -850,12 +840,12 @@ def _kernel_occlusion_streamed(
         get_dma(slot, j).wait()
         c = order_ref[0, 0, j]
 
+        # Per-block skip vs the carried bound (max cutoff over still-
+        # unoccluded lanes — it only decreases, so stale is conservative).
         for b in range(bpc):
             blk = c * bpc + b
-            word = blkmask_ref[0, 0, jax.lax.shift_right_logical(blk, 5)]
-            bit = jax.lax.shift_right_logical(word, jax.lax.rem(blk, 32)) & 1
 
-            @pl.when(bit != 0)
+            @pl.when(enterblk_ref[0, 0, blk] < bound)
             def _(b=b, slot=slot):
                 s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)
                 s0 = s[:, 0 * tb : 1 * tb]
@@ -880,13 +870,12 @@ def _kernel_occlusion_streamed(
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
-def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+def _launch_occlusion_streamed(order, enter, enter_blk, feats, maxt, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
     nc = nb // bpc
-    nbw = blkmask.shape[-1]
 
     occ = pl.pallas_call(
         functools.partial(
@@ -896,9 +885,9 @@ def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: 
         in_specs=[
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -917,8 +906,8 @@ def _launch_occlusion_streamed(order, enter, feats, maxt, blkmask, w, ray_tile: 
         ),
         interpret=interpret,
     )(
-        order[:, None, :], enter[:, None, :], feats, maxt.reshape(rt, 1, ray_tile),
-        blkmask[:, None, :], w,
+        order[:, None, :], enter[:, None, :], enter_blk[:, None, :], feats,
+        maxt.reshape(rt, 1, ray_tile), w,
     )
     return occ.reshape(-1)
 
@@ -968,14 +957,12 @@ def intersect_pallas_occluded(
         )
     else:
         rt = mask.shape[0]
+        enter_blk = jnp.where(mask > 0, enter, INF)
         cmask = mask.reshape(rt, -1, bpc).max(axis=-1)
-        center = jnp.min(
-            jnp.where(mask > 0, enter, INF).reshape(rt, -1, bpc), axis=-1
-        )
+        center = jnp.min(enter_blk.reshape(rt, -1, bpc), axis=-1)
         order, enter_sorted = plan_block_order(cmask, center)
-        blkmask = _pack_mask_bits(mask)
         occ = _launch_occlusion_streamed(
-            order, enter_sorted, feats, max_t, blkmask,
+            order, enter_sorted, enter_blk, feats, max_t,
             jax.lax.stop_gradient(padded.w), ray_tile, bpc, interpret, precision,
         )
     return occ[:r] > 0
@@ -1080,17 +1067,16 @@ def intersect_pallas(
         # Cluster schedule derived from the block-level pass: a cluster is
         # visited iff any of its blocks survives, with entry key = min over
         # surviving blocks' conservative entry distances (a valid lower
-        # bound, tighter than interval-testing the union AABB). The block
-        # mask itself rides along as bit words for in-kernel per-block skip.
+        # bound, tighter than interval-testing the union AABB). Per-block
+        # entry keys (+inf = culled) ride along for in-kernel per-block
+        # front-to-back skipping within DMA'd clusters.
         rt = mask.shape[0]
+        enter_blk = jnp.where(mask > 0, enter, INF)
         cmask = mask.reshape(rt, -1, bpc).max(axis=-1)
-        center = jnp.min(
-            jnp.where(mask > 0, enter, INF).reshape(rt, -1, bpc), axis=-1
-        )
+        center = jnp.min(enter_blk.reshape(rt, -1, bpc), axis=-1)
         order, enter_sorted = plan_block_order(cmask, center)
-        blkmask = _pack_mask_bits(mask)
         best_t, best_i = _launch_streamed(
-            order, enter_sorted, feats, alive_i, blkmask,
+            order, enter_sorted, enter_blk, feats, alive_i,
             jax.lax.stop_gradient(padded.w), ray_tile, bpc, interpret, precision,
         )
     best_t = best_t[:r]

@@ -40,9 +40,14 @@ class RenderSettings:
     intersector: str = "auto"  # see IntegratorOptions.intersector
     estimator: str = "naive"  # "naive" (reference design) | "nee" | "mis" (balance heuristic)
     # Per-call ray sorting for bounce coherence (pallas backend only); see
-    # IntegratorOptions.sort_rays for the measured tradeoff. Default off.
-    sort_rays: bool = False
-    sort_key: str = "dir"  # "dir" | "origin" (see IntegratorOptions.sort_key)
+    # IntegratorOptions.sort_rays for the measured tradeoff. "auto" = on
+    # for scenes past the VMEM-resident budget (streamed kernel — measured
+    # 13.4→5.7 s on config6), off for resident-size scenes (the ~30 ms/call
+    # argsort loses there). Explicit True/False always wins.
+    sort_rays: bool | str = "auto"
+    # "dir" | "origin" | "auto" (→ "origin" for streamed-size scenes,
+    # "dir" otherwise); see IntegratorOptions.sort_key.
+    sort_key: str = "auto"
     compact: bool = True  # dead-lane compaction (see IntegratorOptions.compact)
     compact_mode: str = "permute"  # "permute" | "mask" (see IntegratorOptions)
     kernel_precision: str = "auto"  # MXU pass precision (see IntegratorOptions)
@@ -67,8 +72,10 @@ def _integrator_options(s: RenderSettings) -> IntegratorOptions:
         material_set=s.material_set,
         intersector=s.intersector,
         estimator=s.estimator,
-        sort_rays=s.sort_rays,
-        sort_key=s.sort_key,
+        # "auto" still unresolved here ⇒ traced scene (narrow_settings
+        # couldn't inspect it) — fall back to the resident-scene defaults.
+        sort_rays=s.sort_rays if isinstance(s.sort_rays, bool) else False,
+        sort_key=s.sort_key if s.sort_key != "auto" else "dir",
         compact=s.compact,
         compact_mode=s.compact_mode,
         kernel_precision=s.kernel_precision,
@@ -109,13 +116,29 @@ def narrow_settings(scene: TriangleScene, settings: RenderSettings) -> RenderSet
     """
     if isinstance(scene.v0, jax.core.Tracer):
         return settings
-    if not settings.textured:
-        import numpy as np
+    import numpy as np
 
+    if not settings.textured:
         mat_id = np.asarray(scene.mat_id)[np.asarray(scene.valid)]
         used = np.unique(mat_id) if mat_id.size else np.arange(0)
         if (np.asarray(scene.materials.tex_kind)[used] > 0).any():
             settings = dataclasses.replace(settings, textured=True)
+    if settings.sort_rays == "auto" or settings.sort_key == "auto":
+        # Resolve the coherence-sort autos by the scene's packed size: the
+        # streamed (>VMEM budget) regime is where per-bounce (octant,
+        # origin-Morton) sorting pays for its argsort many times over.
+        from gpupathtracer_tpu.ops.pallas_intersect import RESIDENT_BUDGET_BYTES
+        from gpupathtracer_tpu.ops.plucker import K, NSCALARS
+
+        valid = np.asarray(scene.valid)
+        rows = int(valid.sum() + (np.asarray(scene.two_sided) & valid).sum())
+        streamed = rows * K * NSCALARS * 4 > RESIDENT_BUDGET_BYTES
+        if settings.sort_rays == "auto":
+            settings = dataclasses.replace(settings, sort_rays=bool(streamed))
+        if settings.sort_key == "auto":
+            settings = dataclasses.replace(
+                settings, sort_key="origin" if streamed else "dir"
+            )
     if tuple(settings.material_set) != _FULL_MATERIAL_SET:
         return settings
     return dataclasses.replace(settings, material_set=scene_material_set(scene))

@@ -132,8 +132,12 @@ def parse_config(cfg: dict, config_dir: str = "."):
         use_shading_normals=bool(rnd.get("use_shading_normals", False)),
         intersector=rnd.get("intersector", "auto"),
         estimator=rnd.get("estimator", "naive"),
-        sort_rays=bool(rnd.get("sort_rays", False)),
-        sort_key=rnd.get("sort_key", "dir"),
+        sort_rays=(
+            rnd.get("sort_rays", "auto")
+            if rnd.get("sort_rays", "auto") == "auto"
+            else bool(rnd.get("sort_rays"))
+        ),
+        sort_key=rnd.get("sort_key", "auto"),
         compact=bool(rnd.get("compact", True)),
         compact_mode=rnd.get("compact_mode", "permute"),
         kernel_precision=rnd.get("kernel_precision", "auto"),

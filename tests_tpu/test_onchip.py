@@ -15,6 +15,8 @@ Covers:
 - the any-hit occlusion kernel vs thresholded closest hit.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,3 +162,102 @@ def test_streamed_occlusion_onchip(monkeypatch):
     )
     want = np.asarray(h_ref.hit) & (t_ref < cut)
     np.testing.assert_array_equal(np.asarray(occ), want)
+
+
+@pytest.mark.slow
+def test_streamed_kernel_parity_config7_scale(monkeypatch):
+    """Compiled streamed kernel at config7 scale (wahoo subdiv 4 =
+    1,324,032 tris, ~420 MB packed) vs the Möller–Trumbore oracle on the
+    live chip — VERDICT round-3 item 1's parity bar."""
+    scene = _wahoo_scene(subdiv=4)
+    assert scene.num_triangles >= 1_300_000
+    packed = pack_scene(scene, tri_block=512)
+    assert packed.w.size * 4 > 20 * pallas_intersect.RESIDENT_BUDGET_BYTES
+    r = 4096
+    o, d = _rays(scene, r, seed=21)
+    h = intersect_pallas(o, d, packed, ray_tile=128, precision="highest")
+    h_ref = intersect_brute(o, d, scene, tri_block=2048, ray_chunk=1024)
+    assert np.asarray(h_ref.hit).mean() > 0.25
+    np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(h_ref.hit))
+    agree = (np.asarray(h.tri) == np.asarray(h_ref.tri)).mean()
+    assert agree > 0.999
+    same = (np.asarray(h.tri) == np.asarray(h_ref.tri)) & np.asarray(h_ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(h.t)[same], np.asarray(h_ref.t)[same], rtol=1e-4, atol=1e-4
+    )
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def _shipping_render(config, width, height, spp):
+    """Render a committed config under the SHIPPING on-chip defaults
+    (kernel_precision auto→mixed, permute compaction, material-set
+    narrowing, auto sort) at reduced size."""
+    import dataclasses
+
+    from gpupathtracer_tpu.render.renderer import render_frame
+    from gpupathtracer_tpu.utils.config import load_scene_file
+
+    scenes_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scenes"
+    )
+    scene, cam, st = load_scene_file(os.path.join(scenes_dir, config))
+    st = dataclasses.replace(st, width=width, height=height, spp=spp)
+    cam = dataclasses.replace(cam, width=width, height=height)
+    return np.asarray(render_frame(scene, cam, st))
+
+
+# (config, width, height, spp) — small enough to run per-round on chip.
+GOLDEN_CASES = [
+    ("config2_cornell.toml", 128, 128, 4),
+    ("config6_bigscene.toml", 96, 96, 2),
+]
+
+
+@pytest.mark.parametrize("case", GOLDEN_CASES, ids=lambda c: c[0])
+def test_onchip_image_golden(case):
+    """Pin the on-chip shipping-pipeline output across rounds (VERDICT r3
+    item 6): numeric drift becomes a test failure, not archaeology.
+    Regenerate with tests_tpu/make_goldens.py after INTENDED changes."""
+    cfg, w, h, spp = case
+    path = os.path.join(GOLDEN_DIR, cfg.replace(".toml", f"_{w}x{h}_spp{spp}.npy"))
+    img = _shipping_render(cfg, w, h, spp)
+    assert np.isfinite(img).all()
+    if not os.path.exists(path):
+        pytest.skip(f"golden missing — generate with make_goldens.py ({path})")
+    want = np.load(path)
+    # Tolerance: the mixed-precision kernel may flip a handful of grazing
+    # hits between compiler versions; bound both mean drift and the count
+    # of meaningfully changed pixels.
+    diff = np.abs(img - want)
+    assert diff.mean() < 2e-3, diff.mean()
+    assert (diff.max(axis=-1) > 3e-2).mean() < 5e-3
+
+
+@pytest.mark.slow
+def test_live_view_onchip_smoke(tmp_path):
+    """The interactive progressive viewer on the compiled pallas backend
+    (tests/ only ever runs it interpret/CPU — VERDICT r3 item 10)."""
+    import dataclasses
+
+    from gpupathtracer_tpu.render.live import live_view
+    from gpupathtracer_tpu.utils.config import load_scene_file
+
+    scenes_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scenes"
+    )
+    scene, cam, st = load_scene_file(os.path.join(scenes_dir, "config2_cornell.toml"))
+    st = dataclasses.replace(st, width=96, height=96, spp=4)
+    cam = dataclasses.replace(cam, width=96, height=96)
+    sent = iter([[], ["w"], [], ["quit"]])
+
+    def source():
+        return next(sent, ["quit"])
+
+    final_cam, spp_done = live_view(
+        scene, cam, st, str(tmp_path), chunk_spp=2, max_spp=4, command_source=source
+    )
+    assert (tmp_path / "live.png").exists()
+    assert spp_done >= 2
+    assert float(final_cam.position[2]) != float(cam.position[2])  # W moved
