@@ -22,6 +22,17 @@ Bit-exactness: per-lane results depend only on the lane's ray and key
 (counter-based RNG keyed by (pixel, sample, bounce)), so the microbatched,
 staged execution is bit-identical to the sequential ``lax.scan`` — asserted
 against ``render_frame`` in tests/test_pipeline.py.
+
+STATUS — structural demo, not a performance feature (an honest scope
+statement per VERDICT r3 item 8): this validates the §2.4 PP schedule and
+its exactness, but it requires ``bounces == n_stages``, builds its bounce
+fn without the eager pre-pack / per-bounce compaction fast paths, and has
+never been profiled on hardware. Path tracing has no weight-residency
+motive for PP (the scene is replicated or scene-sharded; activations ARE
+the work), so pure DP — equal rays per chip, zero inter-stage traffic — is
+expected to dominate at every scale this framework targets; PP would only
+matter if per-stage state (e.g. per-bounce megatexture/LOD residency)
+exceeded chip memory. Prefer ``parallel/render.py`` for real deployments.
 """
 
 from __future__ import annotations
