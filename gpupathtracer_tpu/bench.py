@@ -210,6 +210,21 @@ def _bench_kernel(iters: int = 3):
     # The shipping TPU default resolves to "mixed" (kernel_precision="auto").
     dt_cm = run(o_c, d_c, "mixed")
     dt_im = run(o_i, d_i, "mixed")
+    # Incoherent rays behind the (octant, origin-Morton) sort wrapper — what
+    # the integrator's sort_rays path feeds the kernel (VERDICT r3 item 3).
+    sorted_fn = pi.make_sorted_intersect(
+        lambda o, d, _s: pi.intersect_pallas(
+            o, d, packed, interpret=interpret, precision="mixed"
+        ),
+        packed,
+        key_mode="origin",
+    )
+
+    def step_sorted(i):
+        oo = o_i + jnp.float32(i) * 1e-6
+        return float(_wit(sorted_fn(oo, d_i, None)))
+
+    dt_is, _ = _timed(step_sorted, iters)
     dense_flops = 2.0 * r * K * NSCALARS * packed.tri_block * packed.num_blocks
     vpu_peak = _bench_vpu_peak(iters)
     out = {
@@ -222,6 +237,7 @@ def _bench_kernel(iters: int = 3):
         "mixed_incoherent_ms": round(dt_im * 1e3, 2),
         "mixed_coherent_tests_per_s": round(r * n_rows / dt_cm, 1),
         "mixed_incoherent_tests_per_s": round(r * n_rows / dt_im, 1),
+        "mixed_incoherent_sorted_ms": round(dt_is * 1e3, 2),
         # Dense-equivalent utilization: FLOPs the MXU would execute with no
         # culling, over the incoherent (cull-defeated) wall time.
         "dense_tflops_incoherent": round(dense_flops / dt_i / 1e12, 2),

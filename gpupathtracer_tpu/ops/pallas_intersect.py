@@ -968,15 +968,23 @@ def intersect_pallas_occluded(
     return occ[:r] > 0
 
 
-def make_sorted_intersect(intersect_fn, packed: PackedScene):
+def make_sorted_intersect(intersect_fn, packed: PackedScene, key_mode: str = "dir"):
     """Wrap a closest-hit fn with per-call ray sorting for tile coherence.
 
     Secondary-bounce rays are direction-incoherent, which defeats the
     interval frustum culling (a tile whose directions straddle 0 on every
-    axis has unbounded t intervals). Sorting rays by (direction octant,
-    direction Morton, origin Morton) makes tiles sign-coherent so culling
-    and front-to-back scheduling fire again; results are scattered back to
-    the original lane order (bit-identical hits, order restored).
+    axis has unbounded t intervals). Two key layouts (the standalone twin
+    of ops/compaction.py::compact_rays_coherent — see its docstring for
+    when each wins):
+
+    - ``"dir"``: (direction octant, direction Morton, origin Morton) —
+      sign-coherent tiles with tight direction boxes;
+    - ``"origin"``: (octant, origin Morton, direction Morton) — octant-pure
+      tiles with small origin boxes, which keeps the euclidean per-block
+      entry bounds meaningful for front-to-back early exit (dense scenes).
+
+    Results are scattered back to the original lane order (bit-identical
+    hits, order restored).
     """
     lo = packed.box_lo.min(axis=0)
     hi = packed.box_hi.max(axis=0)
@@ -991,7 +999,10 @@ def make_sorted_intersect(intersect_fn, packed: PackedScene):
         )
         dm = _morton_codes(d, jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]))
         om = _morton_codes(o, lo, hi)
-        key = (octant << 27) | ((dm >> 18) << 15) | (om >> 15)
+        if key_mode == "origin":
+            key = (octant << 28) | ((om >> 15) << 13) | (dm >> 17)
+        else:
+            key = (octant << 27) | ((dm >> 18) << 15) | (om >> 15)
         perm = jnp.argsort(key)
         h = intersect_fn(o[perm], d[perm], scene)
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=perm.dtype))

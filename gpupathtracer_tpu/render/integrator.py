@@ -183,7 +183,9 @@ def make_intersect_fn(scene: TriangleScene, options: IntegratorOptions, packed=N
             # With compaction on, coherence comes from the combined
             # compact+sort permutation (compact_rays_coherent) instead —
             # one argsort, not two.
-            return pallas_intersect.make_sorted_intersect(base, packed)
+            return pallas_intersect.make_sorted_intersect(
+                base, packed, key_mode=options.sort_key
+            )
         return base
     raise ValueError(f"unknown intersector {options.intersector!r}")
 
