@@ -176,7 +176,7 @@ def test_streamed_kernel_parity_config7_scale(monkeypatch):
     r = 4096
     o, d = _rays(scene, r, seed=21)
     h = intersect_pallas(o, d, packed, ray_tile=128, precision="highest")
-    h_ref = intersect_brute(o, d, scene, tri_block=2048, ray_chunk=1024)
+    h_ref = intersect_brute(o, d, scene, tri_block=512, ray_chunk=1024)
     assert np.asarray(h_ref.hit).mean() > 0.25
     np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(h_ref.hit))
     agree = (np.asarray(h.tri) == np.asarray(h_ref.tri)).mean()
