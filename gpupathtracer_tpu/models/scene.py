@@ -99,9 +99,14 @@ _PLANE_TRIS = np.asarray(
 
 
 def plane_spec(position, rotation_deg, scale, mat_id=0) -> GeometrySpec:
-    """Reference PLANE geometry (unit square at origin, +z normal, two-sided)."""
+    """Reference PLANE geometry (unit square at origin, +z normal, two-sided).
+
+    UVs map the square to [0,1]² (corner (-0.5,-0.5) → uv (0,0)) so textured
+    materials work on planes; the reference's plane carries no UVs at all.
+    Untextured shading never reads them (resolve_hits need_uv=False).
+    """
     normals = np.broadcast_to(np.asarray([0.0, 0.0, 1.0], np.float32), (2, 3, 3))
-    uvs = np.zeros((2, 3, 2), np.float32)
+    uvs = (_PLANE_TRIS[:, :, :2] + 0.5).astype(np.float32)
     return GeometrySpec(
         vertices=jnp.asarray(_PLANE_TRIS),
         normals=jnp.asarray(normals.copy()),

@@ -47,6 +47,11 @@ from gpupathtracer_tpu.ops.intersect import BIG, EPSILON, Hit
 from gpupathtracer_tpu.ops.plucker import K, NSCALARS, pack_rays
 
 DEFAULT_RAY_TILE = 128
+# Streamed (beyond-VMEM) scenes run finer ray tiles: fewer lanes per tile
+# tightens the worst-lane early-exit gate and the interval frustums, and
+# the per-iteration epilogue halves. Measured (config6, 640k rays, chip):
+# secondary 32/64/128/256 → 759/730/805/937 ms; primary 64/128 → 208/285 ms.
+STREAM_RAY_TILE = 64
 INF = float("inf")
 
 # MXU pass precision for the decision matmul. "highest" = f32-exact
@@ -939,6 +944,8 @@ def intersect_pallas_occluded(
     bpc = 1
     padded = packed
     if not resident:
+        if ray_tile == DEFAULT_RAY_TILE:
+            ray_tile = STREAM_RAY_TILE
         ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
         padded = _pad_blocks(packed, bpc)
     feats = pack_rays(o, d)
@@ -1048,8 +1055,10 @@ def intersect_pallas(
     padded = packed
     if not resident:
         # Streamed path: DMA at CLUSTER granularity (a few blocks targeting
-        # CLUSTER_TARGET_BYTES); ray tiles stay fine — per-tile SMEM
-        # schedule rows put no size pressure on tile width.
+        # CLUSTER_TARGET_BYTES); finer ray tiles (STREAM_RAY_TILE — measured
+        # best at this scale) unless the caller pinned a non-default width.
+        if ray_tile == DEFAULT_RAY_TILE:
+            ray_tile = STREAM_RAY_TILE
         ray_tile, bpc = _plan_stream_shape(packed.num_blocks, r, ray_tile, packed.tri_block)
         padded = _pad_blocks(packed, bpc)
     feats = pack_rays(o, d)
