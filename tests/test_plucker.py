@@ -105,7 +105,8 @@ def test_pallas_cull_mask_conservative():
     pad = (-o.shape[0]) % ray_tile
     o2 = jnp.pad(o, ((0, pad), (0, 0)))
     d2 = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    mask = np.asarray(tile_block_mask(o2, d2, packed, ray_tile))
+    mask, _enter = tile_block_mask(o2, d2, packed, ray_tile)
+    mask = np.asarray(mask)
     h = intersect_pallas(o, d, packed, ray_tile=ray_tile, interpret=True)
     h_ref = intersect_plucker_jnp(o, d, pack_triangles(scene, tri_block=128))
     agree = np.asarray(h.tri) == np.asarray(h_ref.tri)
@@ -118,7 +119,8 @@ def test_pallas_cull_mask_conservative():
     r = 512
     o_away = jnp.tile(jnp.asarray([[0.0, 0.0, 50.0]], jnp.float32), (r, 1))
     d_away = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (r, 1))
-    mask_away = np.asarray(tile_block_mask(o_away, d_away, packed, ray_tile))
+    mask_away, _ = tile_block_mask(o_away, d_away, packed, ray_tile)
+    mask_away = np.asarray(mask_away)
     assert mask_away.sum() == 0
     h_away = intersect_pallas(o_away, d_away, packed, ray_tile=ray_tile, interpret=True)
     assert not np.asarray(h_away.hit).any()
