@@ -137,3 +137,53 @@ def test_mask_compaction_matches_oracle_and_permute():
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
     np.testing.assert_array_equal(imgs[0], imgs[3])
+
+
+def test_compact_rays_coherent_origin_key():
+    """"origin" key mode: same roundtrip contract; live lanes are octant-
+    pure within each contiguous run (octant is the top field)."""
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    alive = jnp.asarray(rng.random(64) > 0.4)
+    o_c, d_c, inv = compact_rays_coherent(o, d, alive, key_mode="origin")
+    np.testing.assert_array_equal(
+        np.asarray(o_c[inv])[np.asarray(alive)], np.asarray(o)[np.asarray(alive)]
+    )
+    n_alive = int(np.asarray(alive).sum())
+    assert (np.asarray(o_c)[:n_alive] < 1e6).all()
+    assert (np.asarray(o_c)[n_alive:] > 1e6).all()
+    sgn = np.sign(np.asarray(d_c)[:n_alive]) < 0
+    oct_ids = sgn[:, 0] * 1 + sgn[:, 1] * 2 + sgn[:, 2] * 4
+    changes = int(np.sum(oct_ids[1:] != oct_ids[:-1]))
+    assert changes <= len(np.unique(oct_ids)) - 1
+
+
+def test_render_invariant_under_sort_key():
+    """Images are bit-identical across sort off / dir key / origin key —
+    per-lane results don't depend on lane order."""
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/triangle.obj", mat_id=0),
+            plane_spec((0.5, 0.5, -1.5), (0, 0, 0), (4, 4, 4), mat_id=1),
+        ],
+        [
+            {"type": "diffuse", "albedo": (1.0, 0.0, 0.0)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ],
+        pad_to_multiple=128,
+    )
+    cam = Camera.create(position=(0.5, 0.5, 3.0), width=24, height=24)
+    base = dict(
+        width=24, height=24, spp=2, bounces=3, tri_block=128,
+        intersector="pallas", estimator="nee",
+    )
+    img_off = np.asarray(render_frame(scene, cam, RenderSettings(**base, sort_rays=False)))
+    img_dir = np.asarray(
+        render_frame(scene, cam, RenderSettings(**base, sort_rays=True, sort_key="dir"))
+    )
+    img_origin = np.asarray(
+        render_frame(scene, cam, RenderSettings(**base, sort_rays=True, sort_key="origin"))
+    )
+    np.testing.assert_array_equal(img_off, img_dir)
+    np.testing.assert_array_equal(img_off, img_origin)
