@@ -302,15 +302,6 @@ def run_benchmark(
         st_high = dataclasses.replace(settings, kernel_precision="high")
         result["fwd_high_precision"] = _bench_frame(scene, camera, st_high, iters)
 
-    # One full-spec-spp run per round (config3's toml says spp=256): the
-    # BASELINE.json spp targets get exercised end-to-end, not only the
-    # bench-sized spp-4 frames (VERDICT r3 item 9).
-    _, _, st_spec = load_scene_file(scene_path)
-    if st_spec.spp > spp:
-        result["full_spp"] = _bench_frame(
-            scene, camera, dataclasses.replace(settings, spp=st_spec.spp), iters=1
-        )
-
     if full_suite:
         configs = {}
         for fname, cfg_spp, _res in CONFIG_SUITE:
@@ -331,6 +322,54 @@ def run_benchmark(
             result["kernel"] = _bench_kernel(iters=max(iters - 1, 1))
         except Exception as e:
             result["kernel"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # One full-spec-spp run per round (config3's toml says spp=256) so the
+    # BASELINE.json spp targets get exercised end-to-end (VERDICT r3 item
+    # 9). CHUNKED through render_samples (32-spp executables): one
+    # 256-sample scan is a single ~100 s device execution, which trips the
+    # tunneled worker's watchdog (worker crash seen in round 4) — and
+    # sample-chunk sums are bit-identical to the one-shot frame anyway
+    # (sample-exact accumulation contract). Runs LAST + guarded so a
+    # worker fault cannot take down the rest of the suite's numbers.
+    try:
+        _, _, st_spec = load_scene_file(scene_path)
+        if st_spec.spp > spp:
+            import jax
+            import jax.numpy as jnp
+
+            from gpupathtracer_tpu.render.renderer import render_samples
+
+            chunk = 32
+            full = dataclasses.replace(settings, spp=st_spec.spp)
+
+            @jax.jit
+            def _sum(img):
+                return jnp.sum(img)
+
+            def step(i):
+                tot = 0.0
+                for s0 in range(0, st_spec.spp, chunk):
+                    tot += float(
+                        _sum(
+                            render_samples(
+                                scene, camera, full, jnp.uint32(s0), chunk,
+                                seed=jnp.uint32(500 + i),
+                            )
+                        )
+                    )
+                return tot
+
+            dt, compile_s = _timed(step, iters=1)
+            rays = full.width * full.height * st_spec.spp * full.bounces
+            result["full_spp"] = {
+                "rays_per_sec": round(rays / dt, 1),
+                "median_s": round(dt, 4),
+                "warmup_s": round(compile_s, 2),
+                "spp": st_spec.spp,
+                "chunked": chunk,
+            }
+    except Exception as e:
+        result["full_spp"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     return result
 
