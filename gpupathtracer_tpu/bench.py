@@ -131,30 +131,50 @@ EPILOGUE_OPS_PER_PAIR = 13
 
 
 def _bench_vpu_peak(iters: int = 3):
-    """Empirical VPU f32 roofline: one fused elementwise kernel of 64
-    multiply-adds over 8M lanes (XLA fuses the unrolled chain), reported as
-    ops/s. The kernel epilogue's speed-of-light is THIS number, not the MXU
-    peak — quoting only mfu_vs_bf16_peak invites the wrong conclusion
-    (VERDICT r3 'MFU honesty gap')."""
+    """Empirical VPU f32 roofline as ops/s — the kernel epilogue's
+    speed-of-light is THIS number, not the MXU peak; quoting only
+    mfu_vs_bf16_peak invites the wrong conclusion (VERDICT r3 'MFU honesty
+    gap').
+
+    DIFFERENTIAL measurement: two fused multiply-add chains over 32M lanes
+    differing only in unrolled depth (64 vs 576 FMAs/lane); peak =
+    Δops / Δtime. The subtraction cancels the per-execution fixed costs
+    (tunnel round-trip ~tens of ms on the axon link, dispatch, the
+    reduction) that a single short chain would otherwise report as
+    'throughput' — the round-4 first cut measured 40 G ops/s that way,
+    which was pure launch latency.
+    """
     import jax
     import jax.numpy as jnp
 
-    n = 8 * 1024 * 1024
-    reps = 64
+    n = 32 * 1024 * 1024
 
-    @jax.jit
-    def chain(x):
-        y = x
-        for k in range(reps):
-            y = y * jnp.float32(1.0000001) + jnp.float32(k & 3)
-        return jnp.sum(y.ravel()[::65536])
+    def make_chain(reps):
+        @jax.jit
+        def chain(x):
+            y = x
+            for k in range(reps):
+                y = y * jnp.float32(1.0000001) + jnp.float32(k & 3)
+            return jnp.sum(y.ravel()[::65536])
 
-    def step(i):
-        x = jnp.full((n,), jnp.float32(i) * 1e-6 + 0.5)
-        return float(chain(x))
+        return chain
 
-    dt, _ = _timed(step, iters)
-    return 2.0 * reps * n / dt  # mul+add per rep per lane
+    lo_reps, hi_reps = 64, 576
+    chain_lo, chain_hi = make_chain(lo_reps), make_chain(hi_reps)
+
+    def time_chain(chain):
+        def step(i):
+            x = jnp.full((n,), jnp.float32(i) * 1e-6 + 0.5)
+            return float(chain(x))
+
+        dt, _ = _timed(step, iters)
+        return dt
+
+    dt_lo = time_chain(chain_lo)
+    dt_hi = time_chain(chain_hi)
+    if dt_hi <= dt_lo:
+        return None  # noise swamped the differential — report unknown
+    return 2.0 * (hi_reps - lo_reps) * n / (dt_hi - dt_lo)
 
 
 def _bench_kernel(iters: int = 3):
@@ -244,10 +264,12 @@ def _bench_kernel(iters: int = 3):
         "mfu_vs_bf16_peak": round(dense_flops / dt_i / V5E_BF16_PEAK_FLOPS, 4),
         # Epilogue roofline: the kernel is VPU-bound, so compare its
         # dense-equivalent epilogue op rate against the MEASURED VPU peak.
-        "vpu_peak_ops_per_s": round(vpu_peak, 1),
+        "vpu_peak_ops_per_s": None if vpu_peak is None else round(vpu_peak, 1),
         "epilogue_ops_per_pair": EPILOGUE_OPS_PER_PAIR,
-        "vpu_roofline_frac_incoherent_mixed": round(
-            (r * n_rows / dt_im) * EPILOGUE_OPS_PER_PAIR / vpu_peak, 3
+        "vpu_roofline_frac_incoherent_mixed": (
+            None
+            if vpu_peak is None
+            else round((r * n_rows / dt_im) * EPILOGUE_OPS_PER_PAIR / vpu_peak, 3)
         ),
         "precision_note": (
             "highest = f32-exact (6-pass bf16); mixed = shipping TPU default "
