@@ -486,6 +486,7 @@ def shadow_edge_gradient(
     eps: float = 1e-3,
     chunk: int = 128,
     clusters: EdgeClusters | None = None,
+    specular_depth: int = 2,
 ):
     """Boundary-term gradient from SHADOW silhouettes at the first diffuse
     vertex — the NEE visibility discontinuity (SURVEY.md §7.3's second term).
@@ -495,7 +496,10 @@ def shadow_edge_gradient(
     jumps across blocker silhouettes *as seen from x*. Analogous to the
     primary estimator but in the unit-direction domain:
 
-    1. sample camera pixels, trace the (detached) primary hit → x;
+    1. sample camera pixels, trace the (detached) primary hit; follow up to
+       ``specular_depth − 1`` MIRROR bounces to the first diffuse vertex x
+       (shadow silhouettes seen IN REFLECTIONS carry boundary gradient too,
+       weighted by the accumulated specular throughput);
     2. classify every edge's silhouette-ness against x (front ⊕ front wrt
        x — per-(x, edge) data, chunked to bound the (M, E) intermediates);
     3. pick an edge ∝ direction-chord length, a point z on it;
@@ -503,8 +507,10 @@ def shadow_edge_gradient(
        one bounce — emitter hit ⇒ f = albedo/π·Le·cosθ_x, else 0 (partial
        blockers and non-occluding edges cancel automatically);
     5. the θ-dependence enters through ω(θ) = normalize(z(θ) − x(θ)); x(θ)
-       re-derived differentiably on the frozen primary ray/triangle
-       (resolve_hits), so blockers AND receivers both carry gradient.
+       re-derived differentiably through the frozen ray/triangle CHAIN
+       (resolve_hits + reflect per mirror segment, so tilting a mirror
+       moves its reflected shadows), and blockers AND receivers both carry
+       gradient.
 
     The boundary of the integral is estimator-independent, so computing it
     in the solid-angle domain stays correct even though the interior NEE
@@ -534,20 +540,50 @@ def shadow_edge_gradient(
     two = jnp.asarray(table.two_sided)
     va, vb = edge_endpoints(scene, tri1, corner)  # (E,3) detached
 
+    from gpupathtracer_tpu.ops.sampling import reflect as _reflect
+
     k_pix, k_jit, k_pick, k_s = jax.random.split(key, 4)
     pix = jax.random.randint(k_pix, (n_samples,), 0, h_pix * w_pix).astype(jnp.uint32)
     jitter = jax.random.uniform(k_jit, (n_samples, 2))
     o, d = generate_rays_for_pixels(cam_d, pix, jitter)
-    hit = intersect(o, d, scene)
-    attrs = resolve_hits(o, d, scene, hit.tri)
-    mat_t = scene.materials.type[attrs.mat_id]
-    diffuse = hit.hit & (mat_t == BxdfType.DIFFUSE)
-    x = jnp.where(hit.hit[:, None], attrs.point, o)
-    facing = -jnp.sign(jnp.sum(d * attrs.gn, axis=-1, keepdims=True))
-    n_x = attrs.gn * jnp.where(facing == 0.0, 1.0, facing)
-    albedo = scene.materials.albedo[attrs.mat_id]
-
     m = n_samples
+
+    # Walk the specular (MIRROR) prefix to the first diffuse vertex,
+    # recording the frozen per-segment chain for the differentiable
+    # re-derivation below. specular_depth=1 reproduces the round-3
+    # primary-hit-only behavior.
+    o_cur, d_cur = o, d
+    active = jnp.ones((m,), bool)
+    diffuse = jnp.zeros((m,), bool)
+    x = o
+    n_x = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
+    albedo = jnp.zeros((m, 3), jnp.float32)
+    spec_tp = jnp.ones((m, 3), jnp.float32)
+    seg_tri, seg_cont, seg_stop, seg_facing = [], [], [], []
+    for _k in range(max(specular_depth, 1)):
+        hit_k = intersect(o_cur, d_cur, scene)
+        a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri)
+        mat_k = scene.materials.type[a_k.mat_id]
+        facing_k = -jnp.sign(jnp.sum(d_cur * a_k.gn, axis=-1, keepdims=True))
+        facing_k = jnp.where(facing_k == 0.0, 1.0, facing_k)
+        n_k = a_k.gn * facing_k
+        newly = active & hit_k.hit & (mat_k == BxdfType.DIFFUSE)
+        x = jnp.where(newly[:, None], a_k.point, x)
+        n_x = jnp.where(newly[:, None], n_k, n_x)
+        albedo = jnp.where(newly[:, None], scene.materials.albedo[a_k.mat_id], albedo)
+        diffuse = diffuse | newly
+        cont = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
+        seg_tri.append(jax.lax.stop_gradient(hit_k.tri))
+        seg_cont.append(jax.lax.stop_gradient(cont))
+        seg_stop.append(jax.lax.stop_gradient(newly))
+        seg_facing.append(jax.lax.stop_gradient(facing_k))
+        spec_tp = jnp.where(
+            cont[:, None], spec_tp * scene.materials.specular_color[a_k.mat_id], spec_tp
+        )
+        d_cur = jnp.where(cont[:, None], _reflect(d_cur, n_k), d_cur)
+        o_cur = jnp.where(cont[:, None], a_k.point + RAY_OFFSET * n_k, o_cur)
+        active = cont
+    spec_tp = jax.lax.stop_gradient(spec_tp)
     if clusters is None and table.num_edges > _HIER_EDGE_THRESHOLD:
         clusters = build_edge_clusters(scene, table)
     if clusters is not None:
@@ -627,7 +663,7 @@ def shadow_edge_gradient(
 
     cot = cot_image.reshape(-1, 3)[pix]
     w_m = (
-        jnp.sum(cot * (f_in - f_out), axis=-1)
+        jnp.sum(cot * spec_tp * (f_in - f_out), axis=-1)
         * t_len
         / jnp.maximum(q_pick, 1e-30)
         * (h_pix * w_pix)
@@ -638,7 +674,6 @@ def shadow_edge_gradient(
     n_hat = jax.lax.stop_gradient(n_hat)
     s_d = jax.lax.stop_gradient(s)
     pick_d = jax.lax.stop_gradient(pick)
-    tri_d = jax.lax.stop_gradient(hit.tri)
     o_d = jax.lax.stop_gradient(o)
     d_d = jax.lax.stop_gradient(d)
 
@@ -646,7 +681,21 @@ def shadow_edge_gradient(
         sc = scene_fn(p)
         va_t, vb_t = edge_endpoints(sc, tri1, corner)
         z_t = (1.0 - s_d[:, None]) * va_t[pick_d] + s_d[:, None] * vb_t[pick_d]
-        x_t = resolve_hits(o_d, d_d, sc, tri_d).point  # receiver moves too
+        # Re-derive the receiver x(θ) through the frozen specular chain:
+        # each segment re-intersects its frozen triangle differentiably
+        # (resolve_hits) and mirror segments reflect about the segment's
+        # differentiable oriented normal — a tilted mirror moves its
+        # reflected shadows.
+        o_t, d_t = o_d, d_d
+        x_t = o_d
+        for tri_k, cont_k, stop_k, facing_k in zip(
+            seg_tri, seg_cont, seg_stop, seg_facing
+        ):
+            a_t = resolve_hits(o_t, d_t, sc, tri_k)
+            n_t = a_t.gn * facing_k
+            x_t = jnp.where(stop_k[:, None], a_t.point, x_t)
+            d_t = jnp.where(cont_k[:, None], _reflect(d_t, n_t), d_t)
+            o_t = jnp.where(cont_k[:, None], a_t.point + RAY_OFFSET * n_t, o_t)
         om = omega_of(z_t, x_t)
         return jnp.sum(w_m * jnp.sum(n_hat * om, axis=-1))
 

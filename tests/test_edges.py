@@ -445,3 +445,86 @@ def test_near_plane_edges_dropped_bias_bounded():
         jax.random.PRNGKey(1), n_samples=256, trace_spp=1,
     )
     assert float(g) == 0.0
+
+
+@pytest.mark.slow
+def test_shadow_edge_gradient_through_mirror_fd():
+    """Shadow silhouettes seen IN A REFLECTION (specular_depth=2): the
+    camera sees only a mirror; the shadowed floor lives entirely behind the
+    camera. depth=1 (the round-3 estimator) is provably blind (gradient
+    exactly 0), as is the detached interior; depth=2 walks the mirror
+    segment and matches FD. The frozen-chain re-derivation carries the
+    receiver x(θ) through resolve_hits + reflect per segment."""
+    from gpupathtracer_tpu.grad.edges import build_edge_table, shadow_edge_gradient
+
+    GREY = {"type": "diffuse", "albedo": (0.6, 0.6, 0.6)}
+    MIRROR = {"type": "mirror", "specular_color": (0.9, 0.9, 0.9)}
+    LIGHT = {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 10.0}
+
+    def scene_fn(s):
+        occ = GeometrySpec(
+            vertices=jnp.asarray(QUAD) * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.asarray([0.0, 3.0, 3.0]),
+            rotation_deg=jnp.asarray([90.0, 0.0, 0.0]),
+            scale=jnp.ones(3),
+            mat_id=2,
+            two_sided=True,
+        )
+        mirror = plane_spec((0.0, 1.0, -1.0), (0.0, 0.0, 0.0), (6.0, 6.0, 1.0), mat_id=3)
+        # Floor spans z in [4, 16]: strictly behind the camera (z = 4).
+        floor = plane_spec((0.0, 0.0, 10.0), (90.0, 0.0, 0.0), (12.0, 12.0, 12.0), mat_id=0)
+        light = plane_spec((0.0, 6.0, -2.0), (90.0, 0.0, 0.0), (3.5, 3.5, 3.5), mat_id=1)
+        return build_scene(
+            [floor, light, occ, mirror], [GREY, LIGHT, BLACK, MIRROR], pad_to_multiple=8
+        )
+
+    cam = Camera.create(
+        position=(0.0, 2.0, 4.0), pitch=-10.0, fov_deg=42.0, width=48, height=48
+    )
+    settings = RenderSettings(
+        width=48, height=48, spp=16, bounces=3, tri_block=8,
+        estimator="nee", intersector="brute", jitter=True,
+    )
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    def loss(s):
+        return float(image_loss(render_frame(scene_fn(s), cam, settings)))
+
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    cot = jax.grad(image_loss)(render_frame(scene0, cam, settings))
+
+    g_d1 = float(
+        shadow_edge_gradient(
+            scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+            jax.random.PRNGKey(17), n_samples=2048, specular_depth=1,
+        )
+    )
+    assert g_d1 == 0.0  # first hit is the mirror — depth 1 sees no diffuse x
+
+    g_det = float(
+        jax.grad(lambda s: image_loss(render_frame(scene_fn(s), cam, settings)))(
+            jnp.float32(1.0)
+        )
+    )
+    assert g_det == 0.0  # detached sampling is fully blind here
+
+    g2 = np.mean(
+        [
+            float(
+                shadow_edge_gradient(
+                    scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+                    jax.random.PRNGKey(k), n_samples=8192, specular_depth=2,
+                )
+            )
+            for k in (17, 18)
+        ]
+    )
+    h = 0.1
+    fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
+    assert fd < 0  # growing the blocker darkens the reflected floor
+    np.testing.assert_allclose(g2, fd, rtol=0.35)
