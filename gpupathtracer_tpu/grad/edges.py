@@ -715,11 +715,15 @@ def value_and_grad_with_edges(
     trace_spp: int = 4,
     shadow_edges: bool = False,
     shadow_samples: int = 512,
+    shadow_clusters: EdgeClusters | None = None,
+    specular_depth: int = 2,
 ):
     """(loss, dL/dparams) with the interior (detached estimator) term plus
     the edge-sampled boundary terms — the complete first-order geometry
     gradient the SURVEY's §7.3 asks for. ``shadow_edges=True`` adds the
-    NEE shadow-silhouette term (first diffuse vertex).
+    NEE shadow-silhouette term (first diffuse vertex, reached through up to
+    ``specular_depth − 1`` mirror bounces); ``shadow_clusters`` passes a
+    prebuilt edge hierarchy (auto-built above _HIER_EDGE_THRESHOLD edges).
 
     ``image_loss(img) -> scalar``; ``scene_fn(params) -> TriangleScene``.
     """
@@ -734,7 +738,9 @@ def value_and_grad_with_edges(
     total = jax.tree_util.tree_map(lambda a, b: a + b, interior, boundary)
     if shadow_edges:
         shadow = shadow_edge_gradient(
-            scene_fn, params, camera, settings, cot, table, k2, n_samples=shadow_samples
+            scene_fn, params, camera, settings, cot, table, k2,
+            n_samples=shadow_samples, clusters=shadow_clusters,
+            specular_depth=specular_depth,
         )
         total = jax.tree_util.tree_map(lambda a, b: a + b, total, shadow)
     return loss, total
