@@ -207,29 +207,40 @@ def build_edge_clusters(
     c = -(-e // cluster_size)
     ids = np.full((c, cluster_size), -1, np.int32)
     ids.ravel()[:e] = order
-    gn_lo = np.zeros((c, 3), np.float32)
-    gn_hi = np.zeros((c, 3), np.float32)
-    c_lo = np.zeros((c,), np.float32)
-    c_hi = np.zeros((c,), np.float32)
-    box_lo = np.zeros((c, 3), np.float32)
-    box_hi = np.zeros((c, 3), np.float32)
-    count = np.zeros((c,), np.int32)
-    has_b = np.zeros((c,), bool)
-    has_tb = np.zeros((c,), bool)
     two = table.two_sided
-    for ci in range(c):
-        sel = ids[ci][ids[ci] >= 0]
-        count[ci] = sel.size
-        faces = np.concatenate([tri1[sel], tri2[sel][tri2[sel] >= 0]])
-        n = gn[faces]
-        const = np.einsum("fk,fk->f", n, v0[faces])
-        gn_lo[ci], gn_hi[ci] = n.min(0), n.max(0)
-        c_lo[ci], c_hi[ci] = const.min(), const.max()
-        ep = np.concatenate([va[sel], vb[sel]])
-        box_lo[ci], box_hi[ci] = ep.min(0), ep.max(0)
-        bnd = tri2[sel] < 0
-        has_b[ci] = bool((bnd & ~two[sel]).any())
-        has_tb[ci] = bool((bnd & two[sel]).any())
+
+    # Fully vectorized per-cluster reductions over the (C, size) id matrix
+    # (a Python per-cluster loop would dominate table-build time at
+    # config7-class edge counts — ~2M edges ⇒ ~8k clusters).
+    valid = ids >= 0
+    sel0 = np.maximum(ids, 0)
+    t1 = tri1[sel0]  # (C, size)
+    t2 = tri2[sel0]
+    has2 = valid & (t2 >= 0)
+    n1 = gn[t1]  # (C, size, 3)
+    n2 = gn[np.maximum(t2, 0)]
+    c1 = np.einsum("csk,csk->cs", n1, v0[t1])
+    c2 = np.einsum("csk,csk->cs", n2, v0[np.maximum(t2, 0)])
+
+    def mmin(x, mask, init):
+        return np.where(mask[..., None] if x.ndim == 3 else mask, x, init)
+
+    big = np.float32(np.inf)
+    n_stack_lo = np.minimum(mmin(n1, valid, big), mmin(n2, has2, big)).min(axis=1)
+    n_stack_hi = np.maximum(mmin(n1, valid, -big), mmin(n2, has2, -big)).max(axis=1)
+    c_lo = np.minimum(mmin(c1, valid, big), mmin(c2, has2, big)).min(axis=1)
+    c_hi = np.maximum(mmin(c1, valid, -big), mmin(c2, has2, -big)).max(axis=1)
+    ep = np.concatenate([va[sel0], vb[sel0]], axis=1)  # (C, 2*size, 3)
+    vmask = np.concatenate([valid, valid], axis=1)
+    box_lo = np.where(vmask[..., None], ep, big).min(axis=1)
+    box_hi = np.where(vmask[..., None], ep, -big).max(axis=1)
+    count = valid.sum(axis=1).astype(np.int32)
+    bnd = valid & (t2 < 0)
+    has_b = (bnd & ~two[sel0]).any(axis=1)
+    has_tb = (bnd & two[sel0]).any(axis=1)
+    gn_lo, gn_hi = n_stack_lo.astype(np.float32), n_stack_hi.astype(np.float32)
+    c_lo, c_hi = c_lo.astype(np.float32), c_hi.astype(np.float32)
+    box_lo, box_hi = box_lo.astype(np.float32), box_hi.astype(np.float32)
     return EdgeClusters(
         size=cluster_size, edge_ids=ids, gn_lo=gn_lo, gn_hi=gn_hi,
         c_lo=c_lo, c_hi=c_hi, box_lo=box_lo, box_hi=box_hi, count=count,
