@@ -529,8 +529,9 @@ RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
 # config6 was mostly 2.7 MB clusters: one "visit" fetched AND mostly
 # computed 65 blocks); the floor is per-iteration overhead — larger
 # clusters amortize the DMA wait + loop control over more blocks (measured
-# config6, origin-sorted: 256 KB → 5.67 s, 512 KB → 5.35 s frame).
-CLUSTER_TARGET_BYTES = 512 * 1024
+# config6, origin-sorted: 256 KB → 5.67 s, 512 KB → 5.35 s at 128-ray
+# tiles; with 64-ray tiles 512 KB → 5.05 s, 1 MB → 4.78 s frame).
+CLUSTER_TARGET_BYTES = 1024 * 1024
 
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
