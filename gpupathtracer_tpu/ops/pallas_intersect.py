@@ -11,21 +11,30 @@ megakernel inner loop (``kernel.cu:133-156``) mapped onto TPU hardware:
 - scenes under RESIDENT_BUDGET_BYTES keep the whole packed matrix in VMEM
   (_kernel_resident); larger scenes stream block CLUSTERS HBM→VMEM with an
   in-kernel double-buffered DMA following the same front-to-back schedule
-  (_kernel_streamed) — visited-cluster-proportional bandwidth, no cap;
+  (_kernel_streamed) at finer 64-ray tiles — visited-cluster-proportional
+  bandwidth, no cap;
 - **uniformly one-sided**: two-sided primitives are pre-duplicated with
   flipped winding at pack time, so the epilogue needs no per-triangle mask
   loads; acceptance is folded (max-tree over the three edge signs, epsilon
   tests in sign space so nothing waits on the division);
-- **tile×block conservative culling**: an XLA pre-pass intersects each ray
-  tile's (origin-box, direction-box) interval frustum with each triangle
-  block's AABB; the (ray_tiles, tri_blocks) skip mask is scalar-prefetched
-  to SMEM and whole blocks are skipped with ``@pl.when`` — the TPU analogue
-  of packet/frustum culling, effective for coherent (primary/low-bounce)
-  rays;
+- **tile×block conservative culling + entry bounds**: an XLA pre-pass
+  intersects each ray tile's (origin-box, direction-box) interval frustum
+  with each triangle block's AABB and lower-bounds the hit distance by the
+  tighter of the slab interval and the euclidean box-box distance (valid
+  because directions are unit). Each tile's front-to-back schedule and
+  per-block entry keys stream to SMEM as ordinary (1, 1, n) pipelined
+  inputs — never a whole-array scalar prefetch — so schedule size puts no
+  pressure on tile width, and the in-kernel loop both orders its visits
+  front-to-back AND stops (or skips single blocks mid-cluster) as soon as
+  every live lane's best hit beats the next entry bound. With the
+  per-bounce (octant, origin-Morton) re-sort (ops/compaction.py) this is
+  what makes large-scene cost sublinear — the TPU analogue of packet
+  tracing with BVH-style t-pruning, minus the tree;
 - the running (best_t, best_index) lives in the revisited output block
-  across the inner grid dimension (sequential TPU grid semantics), matching
-  the reference's serial strictly-nearer/first-wins loop (kernel.cu:110-125);
-- triangle blocks stream HBM→VMEM double-buffered by the Pallas pipeline.
+  (resident) or VMEM scratch (streamed), matching the reference's serial
+  strictly-nearer/first-wins loop (kernel.cu:110-125);
+- triangle blocks stream HBM→VMEM double-buffered — by the Pallas pipeline
+  when resident, by explicit semaphore-tracked DMAs when streamed.
 
 Parity: equal to the Möller–Trumbore oracle (ops/intersect.py) up to fp
 rounding at hit boundaries; interpret-mode runs bit-match the packing's jnp
