@@ -60,7 +60,12 @@ from gpupathtracer_tpu.models.camera import (
 from gpupathtracer_tpu.models.scene import TriangleScene
 from gpupathtracer_tpu.ops.sampling import make_sampler
 from gpupathtracer_tpu.render.integrator import trace_paths
-from gpupathtracer_tpu.render.renderer import RenderSettings, _integrator_options, render_frame
+from gpupathtracer_tpu.render.renderer import (
+    RenderSettings,
+    _integrator_options,
+    narrow_settings,
+    render_frame,
+)
 
 # Above this edge count, shadow_edge_gradient switches to the two-level
 # cluster hierarchy (EdgeClusters) automatically.
@@ -262,7 +267,11 @@ def _pick_edges_hierarchical(scene, table, clusters: EdgeClusters, x, va, vb, ke
     prod_hi = jnp.sum(jnp.maximum(gl[None] * x[:, None], gh[None] * x[:, None]), -1)
     lower = prod_lo - jnp.asarray(clusters.c_hi)[None]
     upper = prod_hi - jnp.asarray(clusters.c_lo)[None]
-    mixed = (lower < 0) & (upper > 0)
+    # lower <= 0 (not < 0): the flat classifier calls dot(gn,x)-c == 0
+    # back-facing (front ⇔ dot > 0), so an edge whose back face evaluates
+    # exactly 0 is a silhouette and must keep nonzero pick probability —
+    # the conservative interval must include that boundary.
+    mixed = (lower <= 0) & (upper > 0)
     possible = (
         mixed
         | (jnp.asarray(clusters.has_boundary)[None] & (upper > 0))
@@ -413,6 +422,9 @@ def primary_edge_gradient(
     radiance differences, and MIS-free pdf bookkeeping are all data.
     """
     scene = jax.lax.stop_gradient(scene_fn(params))
+    # Same auto-resolution as the interior estimator (textured albedo,
+    # material narrowing) so f_in/f_out match what render_frame computes.
+    settings = narrow_settings(scene, settings)
     tri1 = jnp.asarray(table.tri1)
     corner = jnp.asarray(table.corner)
     cam_d = jax.lax.stop_gradient(camera)
@@ -540,10 +552,20 @@ def shadow_edge_gradient(
     from gpupathtracer_tpu.render.integrator import RAY_OFFSET, make_intersect_fn
 
     scene = jax.lax.stop_gradient(scene_fn(params))
+    settings = narrow_settings(scene, settings)
     cam_d = jax.lax.stop_gradient(camera)
     opts = _integrator_options(settings)
     intersect = make_intersect_fn(scene, opts)
     h_pix, w_pix = settings.height, settings.width
+
+    # Mirror-free scenes cannot extend the specular prefix past the first
+    # hit — clamp the walk to one segment so they don't pay extra full
+    # intersect passes (ADVICE r4: specular_depth=2 default made every
+    # scene trace a second pass).
+    if not isinstance(scene.mat_id, jax.core.Tracer):
+        live_mats = np.unique(np.asarray(scene.mat_id)[np.asarray(scene.valid)])
+        if not (np.asarray(scene.materials.type)[live_mats] == BxdfType.MIRROR).any():
+            specular_depth = 1
 
     tri1 = jnp.asarray(table.tri1)
     corner = jnp.asarray(table.corner)
@@ -573,7 +595,7 @@ def shadow_edge_gradient(
     seg_tri, seg_cont, seg_stop, seg_facing = [], [], [], []
     for _k in range(max(specular_depth, 1)):
         hit_k = intersect(o_cur, d_cur, scene)
-        a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri)
+        a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri, need_uv=opts.textured)
         mat_k = scene.materials.type[a_k.mat_id]
         facing_k = -jnp.sign(jnp.sum(d_cur * a_k.gn, axis=-1, keepdims=True))
         facing_k = jnp.where(facing_k == 0.0, 1.0, facing_k)
@@ -581,7 +603,21 @@ def shadow_edge_gradient(
         newly = active & hit_k.hit & (mat_k == BxdfType.DIFFUSE)
         x = jnp.where(newly[:, None], a_k.point, x)
         n_x = jnp.where(newly[:, None], n_k, n_x)
-        albedo = jnp.where(newly[:, None], scene.materials.albedo[a_k.mat_id], albedo)
+        if opts.textured:
+            # Textured receivers: the boundary term's f uses the SAME
+            # effective albedo as the interior estimator (ADVICE r4 — the
+            # flat table value was inconsistent on textured scenes).
+            from gpupathtracer_tpu.models.materials import textured_albedo
+
+            mt = scene.materials
+            alb_k = textured_albedo(
+                mt.albedo[a_k.mat_id], mt.tex_kind[a_k.mat_id], mt.tex_id[a_k.mat_id],
+                mt.checker_color[a_k.mat_id], mt.checker_scale[a_k.mat_id],
+                a_k.uv, scene.textures,
+            )
+        else:
+            alb_k = scene.materials.albedo[a_k.mat_id]
+        albedo = jnp.where(newly[:, None], alb_k, albedo)
         diffuse = diffuse | newly
         cont = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
         seg_tri.append(jax.lax.stop_gradient(hit_k.tri))

@@ -29,6 +29,37 @@ def log_event(path: str, record: dict) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+# Process-level runtime observability (VERDICT r4 item 8): silent auto-
+# degradations (traced-scene sort/narrowing fallbacks, bench detail-write
+# failures) emit here so they are visible in JSONL instead of only as a
+# perf mystery. Events land in an in-memory tail (tests/inspection) and,
+# when FIREFLY_METRICS names a file, in that JSONL stream too.
+RUNTIME_EVENTS: list = []
+_MAX_RUNTIME_EVENTS = 256
+_ONCE_KEYS: set = set()
+
+
+def log_runtime_event(record: dict, once_key: str | None = None) -> None:
+    """Emit a runtime observability event.
+
+    ``once_key`` dedupes per process — auto-fallback notices fire once per
+    distinct cause, not once per trace.
+    """
+    if once_key is not None:
+        if once_key in _ONCE_KEYS:
+            return
+        _ONCE_KEYS.add(once_key)
+    record = {"ts": round(time.time(), 3), **record}
+    RUNTIME_EVENTS.append(record)
+    del RUNTIME_EVENTS[:-_MAX_RUNTIME_EVENTS]
+    path = os.environ.get("FIREFLY_METRICS")
+    if path:
+        try:
+            log_event(path, record)
+        except OSError:
+            pass
+
+
 def read_events(path: str) -> list[dict]:
     if not os.path.exists(path):
         return []
