@@ -154,10 +154,18 @@ def cmd_view(args) -> int:
 
 
 def cmd_invert(args) -> int:
-    from gpupathtracer_tpu.grad.inverse import run_inverse_demo, run_silhouette_demo
+    from gpupathtracer_tpu.grad.inverse import (
+        run_camera_demo,
+        run_inverse_demo,
+        run_silhouette_demo,
+    )
 
     if args.mode == "silhouette":
         result = run_silhouette_demo(steps=args.steps, out_dir=args.out, spp=args.spp)
+        print(json.dumps(result))
+        return 0
+    if args.mode == "camera":
+        result = run_camera_demo(steps=args.steps, out_dir=args.out, spp=args.spp)
         print(json.dumps(result))
         return 0
     result = run_inverse_demo(
@@ -217,9 +225,10 @@ def main(argv=None) -> int:
 
     pi = sub.add_parser("invert", help="inverse-rendering demo (config 5)")
     pi.add_argument(
-        "--mode", default="albedo", choices=["albedo", "silhouette"],
+        "--mode", default="albedo", choices=["albedo", "silhouette", "camera"],
         help="albedo = recover albedo+offsets (detached grads); silhouette = "
-        "recover an occluder scale via edge-sampled visibility gradients",
+        "recover an occluder scale via edge-sampled visibility gradients; "
+        "camera = recover camera pose (x, yaw) via the camera boundary term",
     )
     pi.add_argument("--steps", type=int, default=100)
     pi.add_argument("--out", default=None)

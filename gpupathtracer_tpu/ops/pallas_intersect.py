@@ -55,12 +55,16 @@ from gpupathtracer_tpu.models.scene import TriangleScene
 from gpupathtracer_tpu.ops.intersect import BIG, EPSILON, Hit
 from gpupathtracer_tpu.ops.plucker import K, NSCALARS, pack_rays
 
+import os as _os
+
 DEFAULT_RAY_TILE = 128
 # Streamed (beyond-VMEM) scenes run finer ray tiles: fewer lanes per tile
 # tightens the worst-lane early-exit gate and the interval frustums, and
 # the per-iteration epilogue halves. Measured (config6, 640k rays, chip):
 # secondary 32/64/128/256 → 759/730/805/937 ms; primary 64/128 → 208/285 ms.
-STREAM_RAY_TILE = 64
+# (Env overrides on this and CLUSTER_TARGET_BYTES are the A/B knobs for the
+# on-chip tuning ladders in BASELINE.md — not a public API.)
+STREAM_RAY_TILE = int(_os.environ.get("FIREFLY_STREAM_RAY_TILE", "64"))
 INF = float("inf")
 
 # MXU pass precision for the decision matmul. "highest" = f32-exact
@@ -604,7 +608,12 @@ RESIDENT_BUDGET_BYTES = 16 * 1024 * 1024
 # clusters amortize the DMA wait + loop control over more blocks (measured
 # config6, origin-sorted: 256 KB → 5.67 s, 512 KB → 5.35 s at 128-ray
 # tiles; with 64-ray tiles 512 KB → 5.05 s, 1 MB → 4.78 s frame).
-CLUSTER_TARGET_BYTES = 1024 * 1024
+CLUSTER_TARGET_BYTES = int(_os.environ.get("FIREFLY_CLUSTER_BYTES", str(1024 * 1024)))
+
+# Two-phase streamed traversal: phase 1 caps visited clusters per tile at
+# this budget (0 = single phase). See the straggler-regroup block in
+# intersect_pallas.
+STREAM_PHASE1_BUDGET = int(_os.environ.get("FIREFLY_STREAM_BUDGET", "0"))
 
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
@@ -621,9 +630,11 @@ def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
 
 
 def _kernel_streamed(
-    order_ref, enter_ref, enterblk_ref, feats_ref, alive_ref, w_hbm_ref,
-    best_t_ref, best_i_ref, scratch_ref, bt_s, bi_s, sem_ref,
+    order_ref, enter_ref, enterblk_ref, feats_ref, alive_ref, init_t_ref,
+    init_i_ref, w_hbm_ref, best_t_ref, best_i_ref, done_ref, scratch_ref,
+    bt_s, bi_s, sem_ref,
     *, tb: int, nb: int, nc: int, bpc: int, precision: str = "highest",
+    budget: int | None = None,
 ):
     """Streaming variant for scenes beyond the VMEM budget: grid over ray
     tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
@@ -647,9 +658,17 @@ def _kernel_streamed(
     vector carried through scf.if).
 
     Dead-lane handling matches _kernel_resident: alive 0 ⇒ best_t = -inf.
+
+    ``init_t``/``init_i`` seed the running state (two-phase resume:
+    phase 2 continues from phase 1's partial hits). ``budget`` (static)
+    caps visited clusters per tile; ``done_ref`` reports, per lane, whether
+    its result is final — best_t at or below the next unvisited cluster's
+    conservative entry bound (always true at a natural early exit; the
+    budget stop leaves stragglers undone for the host to regroup).
     """
     feats = feats_ref[:]
     lane_alive = alive_ref[0, 0, :] > 0
+    cap = nc if budget is None else min(budget, nc)
 
     def get_dma(slot, j):
         # Scratch is (2*bpc, K, 5tb) — slot s occupies rows [s*bpc, (s+1)*bpc).
@@ -664,18 +683,20 @@ def _kernel_streamed(
             sem_ref.at[slot],
         )
 
-    bt_s[:] = jnp.where(lane_alive, BIG, -INF)
-    bi_s[:] = jnp.full((feats.shape[0],), -1, jnp.int32)
+    bt_s[:] = jnp.where(lane_alive, init_t_ref[0, 0, :], -INF)
+    bi_s[:] = init_i_ref[0, 0, :]
 
-    first_scheduled = enter_ref[0, 0, 0] < INF
-
-    @pl.when(first_scheduled)
-    def _():
-        get_dma(0, 0).start()
+    # Warm-up DMA for cluster 0 starts whenever it is scheduled — even if
+    # the seeded state means the loop exits immediately (the drain below
+    # waits it out); gating on the seed here would desync start/drain.
+    if cap > 0:
+        @pl.when(enter_ref[0, 0, 0] < INF)
+        def _():
+            get_dma(0, 0).start()
 
     def cond(state):
         j, worst = state
-        return (j < nc) & (enter_ref[0, 0, j] < worst)
+        return (j < cap) & (enter_ref[0, 0, j] < worst)
 
     def body(state):
         j, worst = state
@@ -685,7 +706,7 @@ def _kernel_streamed(
         # Started iff scheduled (enter < inf) — NOT gated on the running
         # worst, so the in-flight set is deterministic and the post-loop
         # drain below can wait out exactly one dangling DMA.
-        @pl.when((j + 1 < nc) & (enter_ref[0, 0, j + 1] < INF))
+        @pl.when((j + 1 < cap) & (enter_ref[0, 0, j + 1] < INF))
         def _():
             get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
@@ -721,28 +742,47 @@ def _kernel_streamed(
 
         return (j + 1, jnp.max(bt_s[:]))
 
-    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(INF)))
+    # Initial worst = max over the seeded state (NOT +inf): a phase-2
+    # resume whose whole tile already beats cluster 0 must not visit it.
+    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.max(bt_s[:])))
 
     # Drain: on early exit the body may have started the DMA for cluster
     # j_end without waiting it (warm-up covers j_end = 0).
-    @pl.when((j_end < nc) & (enter_ref[0, 0, j_end] < INF))
+    @pl.when((j_end < cap) & (enter_ref[0, 0, j_end] < INF))
     def _():
         get_dma(jax.lax.rem(j_end, 2), j_end).wait()
 
+    # Per-lane finality: no unvisited scheduled cluster can strictly beat
+    # this lane (updates are strict <, enter is a lower bound). At a
+    # natural exit every lane is final; a budget stop leaves stragglers.
+    exhausted = j_end >= nc
+    next_enter = enter_ref[0, 0, jnp.minimum(j_end, nc - 1)]
+    done = exhausted | (bt_s[:] <= next_enter)
+
     best_t_ref[0, 0, :] = bt_s[:]
     best_i_ref[0, 0, :] = bi_s[:]
+    done_ref[0, 0, :] = done.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision"))
-def _launch_streamed(order, enter, enter_blk, feats, alive, w, ray_tile: int, bpc: int, interpret: bool, precision: str = "highest"):
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision", "budget")
+)
+def _launch_streamed(
+    order, enter, enter_blk, feats, alive, init_t, init_i, w,
+    ray_tile: int, bpc: int, interpret: bool, precision: str = "highest",
+    budget: int | None = None,
+):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
     tb = five_tb // NSCALARS
     rt = rp // ray_tile
     nc = nb // bpc  # caller pads w to a bpc multiple
 
-    best_t, best_i = pl.pallas_call(
-        functools.partial(_kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision),
+    best_t, best_i, done = pl.pallas_call(
+        functools.partial(
+            _kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision,
+            budget=budget,
+        ),
         grid=(rt,),
         in_specs=[
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -751,15 +791,20 @@ def _launch_streamed(order, enter, enter_blk, feats, alive, w, ray_tile: int, bp
             pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ray_tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # Seeded running state (two-phase resume; BIG/-1 on phase 1).
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             # Whole packed scene stays in HBM; clusters are DMA'd manually.
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
             jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
         ),
         scratch_shapes=[
@@ -776,9 +821,10 @@ def _launch_streamed(order, enter, enter_blk, feats, alive, w, ray_tile: int, bp
         interpret=interpret,
     )(
         order[:, None, :], enter[:, None, :], enter_blk[:, None, :], feats,
-        alive.reshape(rt, 1, ray_tile), w,
+        alive.reshape(rt, 1, ray_tile),
+        init_t.reshape(rt, 1, ray_tile), init_i.reshape(rt, 1, ray_tile), w,
     )
-    return best_t.reshape(-1), best_i.reshape(-1)
+    return best_t.reshape(-1), best_i.reshape(-1), done.reshape(-1)
 
 
 def _pad_blocks(packed: PackedScene, bpc: int) -> PackedScene:
@@ -1165,14 +1211,45 @@ def intersect_pallas(
         # entry keys (+inf = culled) ride along for in-kernel per-block
         # front-to-back skipping within DMA'd clusters.
         rt = mask.shape[0]
+        w_det = jax.lax.stop_gradient(padded.w)
         enter_blk = jnp.where(mask > 0, enter, INF)
         cmask = mask.reshape(rt, -1, bpc).max(axis=-1)
         center = jnp.min(enter_blk.reshape(rt, -1, bpc), axis=-1)
         order, enter_sorted = plan_block_order(cmask, center)
-        best_t, best_i = _launch_streamed(
-            order, enter_sorted, enter_blk, feats, alive_i,
-            jax.lax.stop_gradient(padded.w), ray_tile, bpc, interpret, precision,
+        init_t = jnp.where(alive_i > 0, BIG, -INF)
+        init_i = jnp.full_like(alive_i, -1)
+        budget = STREAM_PHASE1_BUDGET if STREAM_PHASE1_BUDGET > 0 else None
+        best_t, best_i, done = _launch_streamed(
+            order, enter_sorted, enter_blk, feats, alive_i, init_t, init_i,
+            w_det, ray_tile, bpc, interpret, precision, budget=budget,
         )
+        if budget is not None:
+            # Two-phase straggler regroup (the worst-lane-gating attack):
+            # phase 1 capped each tile at ``budget`` visited clusters, so a
+            # single deep lane cannot pin 63 finished neighbors. Lanes the
+            # kernel could not prove final are packed DENSELY into fresh
+            # tiles (stable partition keeps the caller's coherence order)
+            # and resumed with their partial (best_t, best_i) — the early
+            # exit then prunes everything their seeds already beat. Tiles
+            # of finished lanes cull entirely in the frustum pre-pass.
+            from gpupathtracer_tpu.ops.compaction import partition_alive
+
+            undone = (alive_i > 0) & (done == 0)
+            perm, inv = partition_alive(undone)
+            und_p = undone[perm]
+            o2, d2 = o[perm], d[perm]
+            mask2, enter2 = tile_block_mask(o2, d2, padded, ray_tile, alive=und_p)
+            enter_blk2 = jnp.where(mask2 > 0, enter2, INF)
+            cmask2 = mask2.reshape(rt, -1, bpc).max(axis=-1)
+            center2 = jnp.min(enter_blk2.reshape(rt, -1, bpc), axis=-1)
+            order2, es2 = plan_block_order(cmask2, center2)
+            bt2, bi2, _ = _launch_streamed(
+                order2, es2, enter_blk2, feats[perm], und_p.astype(jnp.int32),
+                jnp.where(und_p, best_t[perm], -INF), best_i[perm],
+                w_det, ray_tile, bpc, interpret, precision, budget=None,
+            )
+            best_t = jnp.where(undone, bt2[inv], best_t)
+            best_i = jnp.where(undone, bi2[inv], best_i)
     best_t = best_t[:r]
     best_i = best_i[:r]
     tri = jnp.where(best_i >= 0, packed.tri_map[jnp.maximum(best_i, 0)], -1)

@@ -528,3 +528,154 @@ def test_shadow_edge_gradient_through_mirror_fd():
     fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
     assert fd < 0  # growing the blocker darkens the reflected floor
     np.testing.assert_allclose(g2, fd, rtol=0.35)
+
+
+def test_shadow_edge_gradient_second_diffuse_fd():
+    """Diffuse→diffuse (bounce-2) shadow boundary (VERDICT r4 missing 3):
+    the light sits face-up AT floor level, so every camera-visible floor
+    point sees it edge-on (cosθ_x ≈ 0) — the bounce-1 NEE term and its
+    boundary are ~0 and s-independent, the detached interior is exactly 0,
+    and ALL the FD signal is the occluder's shadow sweeping the CEILING,
+    reached only at the second diffuse vertex. diffuse_depth=1 (the round-4
+    estimator) is provably blind; diffuse_depth=2 walks the detached
+    cosine scatter and matches FD."""
+    import dataclasses
+
+    from gpupathtracer_tpu.grad.edges import shadow_edge_gradient
+
+    GREY = {"type": "diffuse", "albedo": (0.7, 0.7, 0.7)}
+    LIGHT = {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 12.0}
+
+    def scene_fn(s):
+        occ = GeometrySpec(
+            vertices=jnp.asarray(QUAD) * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.asarray([4.5, 0.9, 0.0]),
+            rotation_deg=jnp.asarray([90.0, 0.0, 0.0]),
+            scale=jnp.ones(3),
+            mat_id=2,
+            two_sided=True,
+        )
+        floor = plane_spec((1.0, 0.0, 0.0), (90.0, 0.0, 0.0), (6.0, 6.0, 6.0), mat_id=0)
+        ceil = plane_spec((4.0, 3.0, 0.0), (90.0, 0.0, 0.0), (6.0, 6.0, 6.0), mat_id=0)
+        light = plane_spec((4.5, 0.02, 0.0), (90.0, 0.0, 0.0), (1.4, 1.4, 1.4), mat_id=1)
+        return build_scene([floor, ceil, light, occ], [GREY, LIGHT, BLACK], pad_to_multiple=8)
+
+    cam = Camera.create(
+        position=(1.0, 2.2, 2.5), yaw=-90.0, pitch=-50.0, fov_deg=32.0, width=40, height=40
+    )
+    settings = RenderSettings(
+        width=40, height=40, spp=32, bounces=2, tri_block=8,
+        estimator="nee", intersector="brute", jitter=True,
+    )
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    def loss(s):
+        return float(image_loss(render_frame(scene_fn(s), cam, settings)))
+
+    g_det = float(
+        jax.grad(lambda s: image_loss(render_frame(scene_fn(s), cam, settings)))(jnp.float32(1.0))
+    )
+    assert g_det == 0.0  # black occluder, fixed visibility: interior is blind
+
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    # Restrict to occluder edges: static edges contribute exactly zero
+    # gradient (their endpoints don't move with s) but dilute pick
+    # probability — filtering is pure variance reduction, no bias.
+    occ_mask = np.asarray(scene0.geom_id)[table.tri1] == 3
+    table = dataclasses.replace(
+        table, tri1=table.tri1[occ_mask], corner=table.corner[occ_mask],
+        tri2=table.tri2[occ_mask], two_sided=table.two_sided[occ_mask],
+    )
+    cot = jax.grad(image_loss)(render_frame(scene0, cam, settings))
+
+    g_d1 = float(
+        shadow_edge_gradient(
+            scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+            jax.random.PRNGKey(5), n_samples=2048, diffuse_depth=1,
+        )
+    )
+    assert g_d1 == 0.0  # the first diffuse vertex never sees this shadow
+
+    g2 = np.mean(
+        [
+            float(
+                shadow_edge_gradient(
+                    scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+                    jax.random.PRNGKey(k), n_samples=4096, diffuse_depth=2,
+                )
+            )
+            for k in (5, 6)
+        ]
+    )
+    h = 0.15
+    fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
+    assert fd < 0  # growing the blocker darkens the bounce-2-lit ceiling
+    np.testing.assert_allclose(g2, fd, rtol=0.3)
+
+
+def test_camera_boundary_gradient_fd():
+    """dL/d(camera) across silhouettes (VERDICT r4 missing 4): a black quad
+    on a uniform emitter — every pixel is locally flat, so the detached
+    interior camera gradient is exactly zero and FD is pure silhouette
+    sweep; camera_fn routes the boundary term through the differentiable
+    projection (position AND yaw)."""
+    scene0 = _quad_scene_fn(jnp.float32(0.72))
+    target = jax.lax.stop_gradient(
+        render_frame(
+            scene0,
+            QUAD_CAM.replace(
+                position=QUAD_CAM.position + jnp.asarray([0.25, 0.0, 0.0]),
+                yaw=QUAD_CAM.yaw + 2.0,
+            ),
+            QUAD_SETTINGS,
+        )
+    )
+
+    def image_loss(img):
+        return jnp.mean((img - target) ** 2)
+
+    def camera_fn(p):
+        return QUAD_CAM.replace(
+            position=QUAD_CAM.position + jnp.asarray([1.0, 0.0, 0.0]) * p["dx"],
+            yaw=QUAD_CAM.yaw + p["yaw"],
+        )
+
+    def scene_fn(p):
+        return _quad_scene_fn(jnp.float32(0.72))
+
+    def loss_at(dx, yaw):
+        return float(
+            image_loss(
+                render_frame(
+                    scene_fn(None),
+                    camera_fn({"dx": jnp.float32(dx), "yaw": jnp.float32(yaw)}),
+                    QUAD_SETTINGS,
+                )
+            )
+        )
+
+    p0 = {"dx": jnp.float32(0.0), "yaw": jnp.float32(0.0)}
+    # Detached interior is blind to the camera here (flat black/flat white).
+    g_det = jax.grad(
+        lambda p: image_loss(render_frame(scene_fn(p), camera_fn(p), QUAD_SETTINGS))
+    )(p0)
+    assert float(g_det["dx"]) == 0.0 and float(g_det["yaw"]) == 0.0
+
+    table = build_edge_table(scene0)
+    _, g = value_and_grad_with_edges(
+        image_loss, scene_fn, p0, QUAD_CAM, QUAD_SETTINGS, table,
+        jax.random.PRNGKey(11), n_samples=4096, trace_spp=2, camera_fn=camera_fn,
+    )
+
+    h = 0.04
+    fd_dx = (loss_at(h, 0.0) - loss_at(-h, 0.0)) / (2 * h)
+    h_yaw = 0.5
+    fd_yaw = (loss_at(0.0, h_yaw) - loss_at(0.0, -h_yaw)) / (2 * h_yaw)
+    assert abs(fd_dx) > 1e-5 and abs(fd_yaw) > 1e-5
+    np.testing.assert_allclose(float(g["dx"]), fd_dx, rtol=0.2)
+    np.testing.assert_allclose(float(g["yaw"]), fd_yaw, rtol=0.2)
