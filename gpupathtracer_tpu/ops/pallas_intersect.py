@@ -615,6 +615,14 @@ CLUSTER_TARGET_BYTES = int(_os.environ.get("FIREFLY_CLUSTER_BYTES", str(1024 * 1
 # intersect_pallas.
 STREAM_PHASE1_BUDGET = int(_os.environ.get("FIREFLY_STREAM_BUDGET", "0"))
 
+# Sub-tile gating: split each streamed ray tile into this many lane groups,
+# each with its own running worst best-t; a block's matmul+epilogue runs
+# per group only when the block's entry key beats THAT group's worst — a
+# converged half stops computing while a straggler half continues, without
+# any extra launch or DMA (the cluster schedule still gates at tile level).
+# 1 = off (whole-tile gating, the round-4 behavior).
+STREAM_SUBTILES = int(_os.environ.get("FIREFLY_STREAM_SUBTILES", "1"))
+
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
     """Pick (ray_tile, bpc) for the streamed kernel.
@@ -634,7 +642,7 @@ def _kernel_streamed(
     init_i_ref, w_hbm_ref, best_t_ref, best_i_ref, done_ref, scratch_ref,
     bt_s, bi_s, sem_ref,
     *, tb: int, nb: int, nc: int, bpc: int, precision: str = "highest",
-    budget: int | None = None,
+    budget: int | None = None, subtiles: int = 1,
 ):
     """Streaming variant for scenes beyond the VMEM budget: grid over ray
     tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
@@ -718,27 +726,41 @@ def _kernel_streamed(
         # the rank-4 scratch indexing; bpc is a small static int). Using
         # the loop-carried ``worst`` (from the previous cluster) as the
         # per-block bound is conservative-correct: best_t only decreases.
+        # With ``subtiles`` > 1 each lane GROUP gates its own matmul +
+        # epilogue on a fresh group-local worst — a converged group stops
+        # computing while a straggler group continues (the sub-tile
+        # worst-lane-gating attack; DMA still follows the tile schedule).
+        gs = feats.shape[0] // subtiles
         for b in range(bpc):
             blk = c * bpc + b
+            for gi in range(subtiles):
+                lo = gi * gs
+                group_worst = (
+                    worst if subtiles == 1 else jnp.max(bt_s[lo : lo + gs])
+                )
 
-            @pl.when(enterblk_ref[0, 0, blk] < worst)
-            def _(b=b, blk=blk, slot=slot):
-                s = _decision_dot(feats, scratch_ref[slot * bpc + b], precision, tb)
-                s0 = s[:, 0 * tb : 1 * tb]
-                s1 = s[:, 1 * tb : 2 * tb]
-                s2 = s[:, 2 * tb : 3 * tb]
-                dd = s[:, 3 * tb : 4 * tb]
-                num = s[:, 4 * tb : 5 * tb]
-                # Folded acceptance — see _kernel_resident (t > EPS in sign space).
-                edge = jnp.maximum(jnp.maximum(s0, s1), s2)
-                ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
-                t = jnp.where(ok, num / dd, BIG)
-                blk_min = jnp.min(t, axis=-1)
-                blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
-                best_t = bt_s[:]
-                upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
-                bt_s[:] = jnp.where(upd, blk_min, best_t)
-                bi_s[:] = jnp.where(upd & (blk_min < BIG), blk_arg, bi_s[:])
+                @pl.when(enterblk_ref[0, 0, blk] < group_worst)
+                def _(b=b, blk=blk, slot=slot, lo=lo):
+                    s = _decision_dot(
+                        feats[lo : lo + gs], scratch_ref[slot * bpc + b], precision, tb
+                    )
+                    s0 = s[:, 0 * tb : 1 * tb]
+                    s1 = s[:, 1 * tb : 2 * tb]
+                    s2 = s[:, 2 * tb : 3 * tb]
+                    dd = s[:, 3 * tb : 4 * tb]
+                    num = s[:, 4 * tb : 5 * tb]
+                    # Folded acceptance — see _kernel_resident (t > EPS in sign space).
+                    edge = jnp.maximum(jnp.maximum(s0, s1), s2)
+                    ok = (edge <= 0.0) & (dd <= -EPSILON) & (num < EPSILON * dd)
+                    t = jnp.where(ok, num / dd, BIG)
+                    blk_min = jnp.min(t, axis=-1)
+                    blk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + blk * tb
+                    best_t = bt_s[lo : lo + gs]
+                    upd = blk_min < best_t  # strict <: earlier blocks win ties (kernel.cu:115)
+                    bt_s[lo : lo + gs] = jnp.where(upd, blk_min, best_t)
+                    bi_s[lo : lo + gs] = jnp.where(
+                        upd & (blk_min < BIG), blk_arg, bi_s[lo : lo + gs]
+                    )
 
         return (j + 1, jnp.max(bt_s[:]))
 
@@ -765,12 +787,13 @@ def _kernel_streamed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "bpc", "interpret", "precision", "budget")
+    jax.jit,
+    static_argnames=("ray_tile", "bpc", "interpret", "precision", "budget", "subtiles"),
 )
 def _launch_streamed(
     order, enter, enter_blk, feats, alive, init_t, init_i, w,
     ray_tile: int, bpc: int, interpret: bool, precision: str = "highest",
-    budget: int | None = None,
+    budget: int | None = None, subtiles: int = 1,
 ):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
@@ -781,7 +804,7 @@ def _launch_streamed(
     best_t, best_i, done = pl.pallas_call(
         functools.partial(
             _kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision,
-            budget=budget,
+            budget=budget, subtiles=subtiles,
         ),
         grid=(rt,),
         in_specs=[
@@ -1219,9 +1242,11 @@ def intersect_pallas(
         init_t = jnp.where(alive_i > 0, BIG, -INF)
         init_i = jnp.full_like(alive_i, -1)
         budget = STREAM_PHASE1_BUDGET if STREAM_PHASE1_BUDGET > 0 else None
+        subtiles = STREAM_SUBTILES if ray_tile % max(STREAM_SUBTILES, 1) == 0 else 1
         best_t, best_i, done = _launch_streamed(
             order, enter_sorted, enter_blk, feats, alive_i, init_t, init_i,
             w_det, ray_tile, bpc, interpret, precision, budget=budget,
+            subtiles=subtiles,
         )
         if budget is not None:
             # Two-phase straggler regroup (the worst-lane-gating attack):
@@ -1247,6 +1272,7 @@ def intersect_pallas(
                 order2, es2, enter_blk2, feats[perm], und_p.astype(jnp.int32),
                 jnp.where(und_p, best_t[perm], -INF), best_i[perm],
                 w_det, ray_tile, bpc, interpret, precision, budget=None,
+                subtiles=subtiles,
             )
             best_t = jnp.where(undone, bt2[inv], best_t)
             best_i = jnp.where(undone, bi2[inv], best_i)

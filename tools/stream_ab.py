@@ -40,15 +40,17 @@ print("RESULT " + json.dumps({"median_s": round(dt, 3), "rays_per_sec": round(ra
 """
 
 
-def run_one(cfg, spp, tile, cbytes, budget=0):
+def run_one(cfg, spp, tile, cbytes, budget=0, subtiles=1):
     env = dict(os.environ)
     env["FIREFLY_STREAM_RAY_TILE"] = str(tile)
     env["FIREFLY_CLUSTER_BYTES"] = str(cbytes)
     env["FIREFLY_STREAM_BUDGET"] = str(budget)
+    env["FIREFLY_STREAM_SUBTILES"] = str(subtiles)
     code = CHILD % {"repo": REPO, "cfg": cfg, "spp": spp}
     p = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True,
                        timeout=1200)
-    tag = {"cfg": cfg, "tile": tile, "cluster_kb": cbytes // 1024, "budget": budget}
+    tag = {"cfg": cfg, "tile": tile, "cluster_kb": cbytes // 1024, "budget": budget,
+           "subtiles": subtiles}
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             print(json.dumps({**tag, **json.loads(line[7:])}), flush=True)
@@ -57,15 +59,10 @@ def run_one(cfg, spp, tile, cbytes, budget=0):
 
 
 if __name__ == "__main__":
-    combos = [
-        (64, 1 << 20, 0),   # shipped defaults (baseline for this session)
-        (64, 1 << 20, 4),
-        (64, 1 << 20, 8),
-        (64, 1 << 20, 16),
-        (32, 1 << 20, 0),
-        (32, 1 << 20, 8),
-        (64, 2 << 20, 0),
-        (64, 2 << 20, 4),
+    import ast
+
+    combos = ast.literal_eval(sys.argv[1]) if len(sys.argv) > 1 else [
+        (64, 1 << 20, 0, 1),
     ]
-    for tile, cb, b in combos:
-        run_one("config6_bigscene.toml", 2, tile, cb, b)
+    for combo in combos:
+        run_one("config6_bigscene.toml", 2, *combo)
