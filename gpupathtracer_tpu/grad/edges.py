@@ -533,9 +533,11 @@ def shadow_edge_gradient(
     primary estimator but in the unit-direction domain:
 
     1. sample camera pixels, trace the (detached) primary hit; follow up to
-       ``specular_depth − 1`` MIRROR bounces to the first diffuse vertex x
-       (shadow silhouettes seen IN REFLECTIONS carry boundary gradient too,
-       weighted by the accumulated specular throughput);
+       ``specular_depth − 1`` MIRROR/GLASS bounces to the first diffuse
+       vertex x (shadow silhouettes seen IN REFLECTIONS and THROUGH GLASS
+       carry boundary gradient too, weighted by the accumulated specular
+       throughput; glass segments freeze one Fresnel reflect/transmit
+       sample per the interior estimator's split);
     2. classify every edge's silhouette-ness against x (front ⊕ front wrt
        x — per-(x, edge) data, chunked to bound the (M, E) intermediates);
     3. pick an edge ∝ direction-chord length, a point z on it;
@@ -591,13 +593,14 @@ def shadow_edge_gradient(
     intersect = make_intersect_fn(scene, opts)
     h_pix, w_pix = settings.height, settings.width
 
-    # Mirror-free scenes cannot extend the specular prefix past the first
-    # hit — clamp the walk to one segment so they don't pay extra full
-    # intersect passes (ADVICE r4: specular_depth=2 default made every
-    # scene trace a second pass).
+    # Specular-free scenes cannot extend the prefix past the first hit —
+    # clamp the walk to one segment so they don't pay extra full intersect
+    # passes (ADVICE r4: specular_depth=2 default made every scene trace a
+    # second pass). MIRROR and GLASS both continue the prefix.
     if not isinstance(scene.mat_id, jax.core.Tracer):
         live_mats = np.unique(np.asarray(scene.mat_id)[np.asarray(scene.valid)])
-        if not (np.asarray(scene.materials.type)[live_mats] == BxdfType.MIRROR).any():
+        live_types = np.asarray(scene.materials.type)[live_mats]
+        if not np.isin(live_types, (BxdfType.MIRROR, BxdfType.GLASS)).any():
             specular_depth = 1
 
     tri1 = jnp.asarray(table.tri1)
@@ -606,18 +609,26 @@ def shadow_edge_gradient(
     two = jnp.asarray(table.two_sided)
     va, vb = edge_endpoints(scene, tri1, corner)  # (E,3) detached
 
-    from gpupathtracer_tpu.ops.sampling import reflect as _reflect
+    from gpupathtracer_tpu.ops.sampling import (
+        fresnel_schlick as _fresnel,
+        normalize_dir as _normalize_dir,
+        reflect as _reflect,
+        refract as _refract,
+    )
 
-    k_pix, k_jit, k_pick, k_s, k_d2, k_pick2, k_s2 = jax.random.split(key, 7)
+    k_pix, k_jit, k_pick, k_s, k_d2, k_pick2, k_s2, k_gl = jax.random.split(key, 8)
     pix = jax.random.randint(k_pix, (n_samples,), 0, h_pix * w_pix).astype(jnp.uint32)
     jitter = jax.random.uniform(k_jit, (n_samples, 2))
     o, d = generate_rays_for_pixels(cam_d, pix, jitter)
     m = n_samples
 
-    # Walk the specular (MIRROR) prefix to the first diffuse vertex,
+    # Walk the specular (MIRROR/GLASS) prefix to the first diffuse vertex,
     # recording the frozen per-segment chain for the differentiable
     # re-derivation below. specular_depth=1 reproduces the round-3
-    # primary-hit-only behavior.
+    # primary-hit-only behavior. Glass segments sample the interior
+    # estimator's Fresnel reflect/transmit choice once (frozen), with the
+    # matching throughput factor (1 / transmittance) — the probability
+    # cancels exactly as in the integrator's split.
     o_cur, d_cur = o, d
     active = jnp.ones((m,), bool)
     diffuse = jnp.zeros((m,), bool)
@@ -625,7 +636,8 @@ def shadow_edge_gradient(
     n_x = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
     albedo = jnp.zeros((m, 3), jnp.float32)
     spec_tp = jnp.ones((m, 3), jnp.float32)
-    seg_tri, seg_cont, seg_stop, seg_facing = [], [], [], []
+    seg_tri, seg_stop, seg_facing = [], [], []
+    seg_mirror, seg_grefl, seg_gtrans, seg_eta = [], [], [], []
     for _k in range(max(specular_depth, 1)):
         hit_k = intersect(o_cur, d_cur, scene)
         a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri, need_uv=opts.textured)
@@ -652,16 +664,43 @@ def shadow_edge_gradient(
             alb_k = scene.materials.albedo[a_k.mat_id]
         albedo = jnp.where(newly[:, None], alb_k, albedo)
         diffuse = diffuse | newly
-        cont = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
+        cont_m = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
+        is_glass = active & hit_k.hit & (mat_k == BxdfType.GLASS)
+        # Fresnel-weighted reflect/refract — the integrator's glass rule
+        # (render/integrator.py) with one frozen sample per segment.
+        cos_i = jnp.clip(-jnp.sum(d_cur * a_k.gn, axis=-1), -1.0, 1.0)
+        entering = cos_i > 0.0
+        ior = scene.materials.refractive_index[a_k.mat_id]
+        eta_i = jnp.where(entering, 1.0, ior)
+        eta_t = jnp.where(entering, ior, 1.0)
+        eta = eta_i / eta_t
+        fres = _fresnel(jnp.abs(cos_i), eta_i, eta_t)
+        refr_k, tir = _refract(d_cur, n_k, eta[:, None])
+        ug = jax.random.uniform(jax.random.fold_in(k_gl, _k), (m,))
+        choice_refl = tir | (ug < fres)
+        cont_gr = is_glass & choice_refl
+        cont_gt = is_glass & ~choice_refl
+        cont = cont_m | cont_gr | cont_gt
         seg_tri.append(jax.lax.stop_gradient(hit_k.tri))
-        seg_cont.append(jax.lax.stop_gradient(cont))
         seg_stop.append(jax.lax.stop_gradient(newly))
         seg_facing.append(jax.lax.stop_gradient(facing_k))
-        spec_tp = jnp.where(
-            cont[:, None], spec_tp * scene.materials.specular_color[a_k.mat_id], spec_tp
+        seg_mirror.append(jax.lax.stop_gradient(cont_m))
+        seg_grefl.append(jax.lax.stop_gradient(cont_gr))
+        seg_gtrans.append(jax.lax.stop_gradient(cont_gt))
+        seg_eta.append(jax.lax.stop_gradient(eta))
+        tp_k = jnp.where(
+            cont_m[:, None], scene.materials.specular_color[a_k.mat_id],
+            jnp.where(
+                cont_gt[:, None], scene.materials.transmittance_color[a_k.mat_id], 1.0
+            ),
         )
-        d_cur = jnp.where(cont[:, None], _reflect(d_cur, n_k), d_cur)
-        o_cur = jnp.where(cont[:, None], a_k.point + RAY_OFFSET * n_k, o_cur)
+        spec_tp = jnp.where(cont[:, None], spec_tp * tp_k, spec_tp)
+        d_new = jnp.where(
+            cont_gt[:, None], _normalize_dir(refr_k), _reflect(d_cur, n_k)
+        )
+        d_cur = jnp.where(cont[:, None], d_new, d_cur)
+        off_n = jnp.where(cont_gt[:, None], -n_k, n_k)
+        o_cur = jnp.where(cont[:, None], a_k.point + RAY_OFFSET * off_n, o_cur)
         active = cont
     spec_tp = jax.lax.stop_gradient(spec_tp)
 
@@ -815,25 +854,33 @@ def shadow_edge_gradient(
 
         # Re-derive the receiver x(θ) through the frozen specular chain:
         # each segment re-intersects its frozen triangle differentiably
-        # (resolve_hits) and mirror segments reflect about the segment's
-        # differentiable oriented normal — a tilted mirror moves its
-        # reflected shadows. With ``camera_fn`` the primary rays themselves
-        # re-derive from the differentiable camera.
+        # (resolve_hits); mirror/glass-reflect segments reflect and
+        # glass-transmit segments refract (frozen eta and branch choice)
+        # about the segment's differentiable oriented normal — a tilted
+        # mirror or glass pane moves its reflected/refracted shadows. With
+        # ``camera_fn`` the primary rays themselves re-derive from the
+        # differentiable camera.
         if camera_fn is not None:
             o_t, d_t = generate_rays_for_pixels(camera_fn(p), pix_d, jit_d)
         else:
             o_t, d_t = o_d, d_d
         x_t = o_t
         n1_t = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
-        for tri_k, cont_k, stop_k, facing_k in zip(
-            seg_tri, seg_cont, seg_stop, seg_facing
+        for tri_k, stop_k, facing_k, m_k, gr_k, gt_k, eta_k in zip(
+            seg_tri, seg_stop, seg_facing, seg_mirror, seg_grefl, seg_gtrans, seg_eta
         ):
             a_t = resolve_hits(o_t, d_t, sc, tri_k)
             n_t = a_t.gn * facing_k
             x_t = jnp.where(stop_k[:, None], a_t.point, x_t)
             n1_t = jnp.where(stop_k[:, None], n_t, n1_t)
-            d_t = jnp.where(cont_k[:, None], _reflect(d_t, n_t), d_t)
-            o_t = jnp.where(cont_k[:, None], a_t.point + RAY_OFFSET * n_t, o_t)
+            cont_k = m_k | gr_k | gt_k
+            refr_t, _ = _refract(d_t, n_t, eta_k[:, None])
+            d_new = jnp.where(
+                gt_k[:, None], _normalize_dir(refr_t), _reflect(d_t, n_t)
+            )
+            off_n = jnp.where(gt_k[:, None], -n_t, n_t)
+            d_t = jnp.where(cont_k[:, None], d_new, d_t)
+            o_t = jnp.where(cont_k[:, None], a_t.point + RAY_OFFSET * off_n, o_t)
         total = term(r1, x_t)
         if two_receivers:
             # One more frozen segment: x₁(θ) + ε·n₁(θ) along the DETACHED

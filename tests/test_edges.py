@@ -679,3 +679,85 @@ def test_camera_boundary_gradient_fd():
     assert abs(fd_dx) > 1e-5 and abs(fd_yaw) > 1e-5
     np.testing.assert_allclose(float(g["dx"]), fd_dx, rtol=0.2)
     np.testing.assert_allclose(float(g["yaw"]), fd_yaw, rtol=0.2)
+
+
+def test_shadow_edge_gradient_through_glass_fd():
+    """Shadow silhouettes seen THROUGH A GLASS PANE: the camera views the
+    shadowed floor through a tilted refractive pane, so depth-1 walks (and
+    the detached interior) are provably blind; the glass-aware specular
+    prefix (frozen Fresnel branch + refract in the chain re-derivation)
+    must match FD. Completes specular coverage of the walk: MIRROR chains
+    (test above) + GLASS reflect/transmit branches."""
+    from gpupathtracer_tpu.grad.edges import shadow_edge_gradient
+
+    GREY = {"type": "diffuse", "albedo": (0.6, 0.6, 0.6)}
+    LIGHT = {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 6.0}
+    GLASS = {
+        "type": "glass", "refractive_index": 1.5,
+        "transmittance_color": (0.95, 0.95, 0.95),
+    }
+
+    def scene_fn(s):
+        occ = GeometrySpec(
+            vertices=jnp.asarray(QUAD) * s,
+            normals=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3, 3)),
+            uvs=jnp.zeros((2, 3, 2)),
+            position=jnp.asarray([0.0, 1.5, 0.0]),
+            rotation_deg=jnp.asarray([90.0, 0.0, 0.0]),
+            scale=jnp.ones(3),
+            mat_id=2,
+            two_sided=True,
+        )
+        floor = plane_spec((0.0, 0.0, 0.0), (90.0, 0.0, 0.0), (6.0, 6.0, 6.0), mat_id=0)
+        light = plane_spec((0.0, 3.0, 0.0), (90.0, 0.0, 0.0), (1.5, 1.5, 1.5), mat_id=1)
+        pane = plane_spec((0.0, 0.8, 2.2), (15.0, 0.0, 0.0), (4.0, 4.0, 1.0), mat_id=3)
+        return build_scene(
+            [floor, light, occ, pane], [GREY, LIGHT, BLACK, GLASS], pad_to_multiple=8
+        )
+
+    cam = Camera.create(
+        position=(0.0, 1.0, 4.5), pitch=-25.0, fov_deg=35.0, width=48, height=48
+    )
+    settings = RenderSettings(
+        width=48, height=48, spp=24, bounces=3, tri_block=8,
+        estimator="nee", intersector="brute", jitter=True,
+    )
+
+    def image_loss(img):
+        return jnp.mean(img)
+
+    def loss(s):
+        return float(image_loss(render_frame(scene_fn(s), cam, settings)))
+
+    g_det = float(
+        jax.grad(lambda s: image_loss(render_frame(scene_fn(s), cam, settings)))(jnp.float32(1.0))
+    )
+    assert g_det == 0.0
+
+    scene0 = scene_fn(jnp.float32(1.0))
+    table = build_edge_table(scene0)
+    cot = jax.grad(image_loss)(render_frame(scene0, cam, settings))
+
+    g1 = float(
+        shadow_edge_gradient(
+            scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+            jax.random.PRNGKey(5), n_samples=2048, specular_depth=1,
+        )
+    )
+    assert g1 == 0.0  # every receiver in view lies behind the pane
+
+    g2 = np.mean(
+        [
+            float(
+                shadow_edge_gradient(
+                    scene_fn, jnp.float32(1.0), cam, settings, cot, table,
+                    jax.random.PRNGKey(k), n_samples=4096, specular_depth=2,
+                )
+            )
+            for k in (5, 6)
+        ]
+    )
+    h = 0.12
+    fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
+    assert fd < 0
+    np.testing.assert_allclose(g2, fd, rtol=0.3)
