@@ -417,8 +417,18 @@ def _bench_full_spp(scene, camera, settings, spec_spp: int, chunk: int = 32):
     # Warm up on ONE chunk (every later chunk reuses its executable) then
     # time a single full pass — a 1024-spp config is minutes per pass, so
     # the usual warmup+median protocol would double a long run for ~nothing.
+    # The warmup MUST pass a seed: seed=None traces a different executable
+    # signature and the timed pass would re-compile (round-5 bench showed
+    # exactly that as inflated spec-spp medians).
     t0 = time.perf_counter()
-    float(_sum(render_samples(scene, camera, full, jnp.uint32(0), min(chunk, spec_spp))))
+    float(
+        _sum(
+            render_samples(
+                scene, camera, full, jnp.uint32(0), min(chunk, spec_spp),
+                seed=jnp.uint32(500),
+            )
+        )
+    )
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     step(1)
