@@ -211,9 +211,7 @@ def render_frame(
     concrete = not isinstance(scene.v0, jax.core.Tracer)
     settings = narrow_settings(scene, settings)
     if settings.intersector == "bvh" and concrete:
-        from gpupathtracer_tpu.accel.bvh import build_bvh
-
-        return _render_frame_bvh(scene, build_bvh(scene), camera, settings, seed)
+        return _render_frame_bvh(scene, _cached_bvh(scene), camera, settings, seed)
     from gpupathtracer_tpu.render.integrator import resolved_intersector
 
     if _all_concrete(scene.valid, scene.two_sided) and (
@@ -267,6 +265,43 @@ def _render_frame_prepacked(scene, packed, camera, settings, seed=None):
 
     intersect_fn = make_intersect_fn(scene, _integrator_options(settings), packed=packed)
     return _frame_body(scene, camera, settings, seed, intersect_fn, packed=packed)
+
+
+# BVH identity cache (same contract as the pack cache in
+# ops/pallas_intersect): repeated frames on unchanged geometry reuse the
+# host-built flattened BVH instead of rebuilding per call (VERDICT r4
+# item 4's parenthetical). Weakrefs guard id() recycling.
+_BVH_CACHE: dict = {}
+_BVH_CACHE_ORDER: list = []
+_BVH_CACHE_SIZE = 4
+
+
+def _cached_bvh(scene: TriangleScene):
+    import weakref
+
+    from gpupathtracer_tpu.accel.bvh import build_bvh
+
+    fields = (scene.v0, scene.e1, scene.e2, scene.valid)
+    key = tuple(id(x) for x in fields)
+    entry = _BVH_CACHE.get(key)
+    if entry is not None and all(r() is f for r, f in zip(entry[0], fields)):
+        _BVH_CACHE_ORDER.remove(key)
+        _BVH_CACHE_ORDER.append(key)
+        return entry[1]
+    _BVH_CACHE.pop(key, None)
+    bvh = build_bvh(scene)
+    try:
+        refs = tuple(weakref.ref(x) for x in fields)
+    except TypeError:
+        return bvh
+    _BVH_CACHE[key] = (refs, bvh)
+    if key in _BVH_CACHE_ORDER:
+        _BVH_CACHE_ORDER.remove(key)
+    _BVH_CACHE_ORDER.append(key)
+    while len(_BVH_CACHE_ORDER) > _BVH_CACHE_SIZE:
+        old = _BVH_CACHE_ORDER.pop(0)
+        _BVH_CACHE.pop(old, None)
+    return bvh
 
 
 @partial(jax.jit, static_argnames=("settings",))

@@ -174,3 +174,14 @@ def test_auto_fallback_is_logged():
     n1 = len(metrics.RUNTIME_EVENTS)
     _integrator_options(RenderSettings(width=8, height=8, sort_rays="auto"))
     assert len(metrics.RUNTIME_EVENTS) == n1
+
+
+def test_bvh_cache_reuses_identical_buffers():
+    from gpupathtracer_tpu.render.renderer import _cached_bvh
+
+    scene = _demo_scene()
+    b1 = _cached_bvh(scene)
+    b2 = _cached_bvh(scene)
+    assert b1 is b2
+    b3 = _cached_bvh(scene.replace(v0=scene.v0 + 0.0))
+    assert b3 is not b1
