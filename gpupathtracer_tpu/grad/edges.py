@@ -622,90 +622,11 @@ def shadow_edge_gradient(
     o, d = generate_rays_for_pixels(cam_d, pix, jitter)
     m = n_samples
 
-    # Walk the specular (MIRROR/GLASS) prefix to the first diffuse vertex,
-    # recording the frozen per-segment chain for the differentiable
-    # re-derivation below. specular_depth=1 reproduces the round-3
-    # primary-hit-only behavior. Glass segments sample the interior
-    # estimator's Fresnel reflect/transmit choice once (frozen), with the
-    # matching throughput factor (1 / transmittance) — the probability
-    # cancels exactly as in the integrator's split.
-    o_cur, d_cur = o, d
-    active = jnp.ones((m,), bool)
-    diffuse = jnp.zeros((m,), bool)
-    x = o
-    n_x = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
-    albedo = jnp.zeros((m, 3), jnp.float32)
-    spec_tp = jnp.ones((m, 3), jnp.float32)
-    seg_tri, seg_stop, seg_facing = [], [], []
-    seg_mirror, seg_grefl, seg_gtrans, seg_eta = [], [], [], []
-    for _k in range(max(specular_depth, 1)):
-        hit_k = intersect(o_cur, d_cur, scene)
-        a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri, need_uv=opts.textured)
-        mat_k = scene.materials.type[a_k.mat_id]
-        facing_k = -jnp.sign(jnp.sum(d_cur * a_k.gn, axis=-1, keepdims=True))
-        facing_k = jnp.where(facing_k == 0.0, 1.0, facing_k)
-        n_k = a_k.gn * facing_k
-        newly = active & hit_k.hit & (mat_k == BxdfType.DIFFUSE)
-        x = jnp.where(newly[:, None], a_k.point, x)
-        n_x = jnp.where(newly[:, None], n_k, n_x)
+    def textured_albedo_at(attrs):
         if opts.textured:
             # Textured receivers: the boundary term's f uses the SAME
             # effective albedo as the interior estimator (ADVICE r4 — the
             # flat table value was inconsistent on textured scenes).
-            from gpupathtracer_tpu.models.materials import textured_albedo
-
-            mt = scene.materials
-            alb_k = textured_albedo(
-                mt.albedo[a_k.mat_id], mt.tex_kind[a_k.mat_id], mt.tex_id[a_k.mat_id],
-                mt.checker_color[a_k.mat_id], mt.checker_scale[a_k.mat_id],
-                a_k.uv, scene.textures,
-            )
-        else:
-            alb_k = scene.materials.albedo[a_k.mat_id]
-        albedo = jnp.where(newly[:, None], alb_k, albedo)
-        diffuse = diffuse | newly
-        cont_m = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
-        is_glass = active & hit_k.hit & (mat_k == BxdfType.GLASS)
-        # Fresnel-weighted reflect/refract — the integrator's glass rule
-        # (render/integrator.py) with one frozen sample per segment.
-        cos_i = jnp.clip(-jnp.sum(d_cur * a_k.gn, axis=-1), -1.0, 1.0)
-        entering = cos_i > 0.0
-        ior = scene.materials.refractive_index[a_k.mat_id]
-        eta_i = jnp.where(entering, 1.0, ior)
-        eta_t = jnp.where(entering, ior, 1.0)
-        eta = eta_i / eta_t
-        fres = _fresnel(jnp.abs(cos_i), eta_i, eta_t)
-        refr_k, tir = _refract(d_cur, n_k, eta[:, None])
-        ug = jax.random.uniform(jax.random.fold_in(k_gl, _k), (m,))
-        choice_refl = tir | (ug < fres)
-        cont_gr = is_glass & choice_refl
-        cont_gt = is_glass & ~choice_refl
-        cont = cont_m | cont_gr | cont_gt
-        seg_tri.append(jax.lax.stop_gradient(hit_k.tri))
-        seg_stop.append(jax.lax.stop_gradient(newly))
-        seg_facing.append(jax.lax.stop_gradient(facing_k))
-        seg_mirror.append(jax.lax.stop_gradient(cont_m))
-        seg_grefl.append(jax.lax.stop_gradient(cont_gr))
-        seg_gtrans.append(jax.lax.stop_gradient(cont_gt))
-        seg_eta.append(jax.lax.stop_gradient(eta))
-        tp_k = jnp.where(
-            cont_m[:, None], scene.materials.specular_color[a_k.mat_id],
-            jnp.where(
-                cont_gt[:, None], scene.materials.transmittance_color[a_k.mat_id], 1.0
-            ),
-        )
-        spec_tp = jnp.where(cont[:, None], spec_tp * tp_k, spec_tp)
-        d_new = jnp.where(
-            cont_gt[:, None], _normalize_dir(refr_k), _reflect(d_cur, n_k)
-        )
-        d_cur = jnp.where(cont[:, None], d_new, d_cur)
-        off_n = jnp.where(cont_gt[:, None], -n_k, n_k)
-        o_cur = jnp.where(cont[:, None], a_k.point + RAY_OFFSET * off_n, o_cur)
-        active = cont
-    spec_tp = jax.lax.stop_gradient(spec_tp)
-
-    def textured_albedo_at(attrs):
-        if opts.textured:
             from gpupathtracer_tpu.models.materials import textured_albedo
 
             mt = scene.materials
@@ -716,10 +637,107 @@ def shadow_edge_gradient(
             )
         return scene.materials.albedo[attrs.mat_id]
 
+    def spec_walk(o0, d0, active0, kw):
+        """Walk a specular (MIRROR/GLASS) prefix to the next diffuse vertex,
+        recording the frozen per-segment chain for the differentiable
+        re-derivation below. specular_depth=1 reproduces the round-3
+        primary-hit-only behavior. Glass segments sample the interior
+        estimator's Fresnel reflect/transmit choice once (frozen), with
+        the matching throughput factor (1 / transmittance) — the
+        probability cancels exactly as in the integrator's split.
+
+        Returns (x, n_x, albedo, tp_mult, found_diffuse, segs): the
+        receiver point/normal/albedo, the accumulated specular throughput
+        multiplier, the receiver mask, and the frozen segment chain."""
+        o_cur, d_cur = o0, d0
+        active = active0
+        found = jnp.zeros((m,), bool)
+        xw = o0
+        n_w = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
+        alb_w = jnp.zeros((m, 3), jnp.float32)
+        tp = jnp.ones((m, 3), jnp.float32)
+        segs = []
+        for _k in range(max(specular_depth, 1)):
+            hit_k = intersect(o_cur, d_cur, scene)
+            a_k = resolve_hits(o_cur, d_cur, scene, hit_k.tri, need_uv=opts.textured)
+            mat_k = scene.materials.type[a_k.mat_id]
+            facing_k = -jnp.sign(jnp.sum(d_cur * a_k.gn, axis=-1, keepdims=True))
+            facing_k = jnp.where(facing_k == 0.0, 1.0, facing_k)
+            n_k = a_k.gn * facing_k
+            newly = active & hit_k.hit & (mat_k == BxdfType.DIFFUSE)
+            xw = jnp.where(newly[:, None], a_k.point, xw)
+            n_w = jnp.where(newly[:, None], n_k, n_w)
+            alb_w = jnp.where(newly[:, None], textured_albedo_at(a_k), alb_w)
+            found = found | newly
+            cont_m = active & hit_k.hit & (mat_k == BxdfType.MIRROR)
+            is_glass = active & hit_k.hit & (mat_k == BxdfType.GLASS)
+            # Fresnel-weighted reflect/refract — the integrator's glass
+            # rule (render/integrator.py) with one frozen sample/segment.
+            cos_i = jnp.clip(-jnp.sum(d_cur * a_k.gn, axis=-1), -1.0, 1.0)
+            entering = cos_i > 0.0
+            ior = scene.materials.refractive_index[a_k.mat_id]
+            eta_i = jnp.where(entering, 1.0, ior)
+            eta_t = jnp.where(entering, ior, 1.0)
+            eta = eta_i / eta_t
+            fres = _fresnel(jnp.abs(cos_i), eta_i, eta_t)
+            refr_k, tir = _refract(d_cur, n_k, eta[:, None])
+            ug = jax.random.uniform(jax.random.fold_in(kw, _k), (m,))
+            choice_refl = tir | (ug < fres)
+            cont_gr = is_glass & choice_refl
+            cont_gt = is_glass & ~choice_refl
+            cont = cont_m | cont_gr | cont_gt
+            segs.append(
+                jax.lax.stop_gradient(
+                    (hit_k.tri, newly, facing_k, cont_m, cont_gr, cont_gt, eta)
+                )
+            )
+            tp_k = jnp.where(
+                cont_m[:, None], scene.materials.specular_color[a_k.mat_id],
+                jnp.where(
+                    cont_gt[:, None], scene.materials.transmittance_color[a_k.mat_id], 1.0
+                ),
+            )
+            tp = jnp.where(cont[:, None], tp * tp_k, tp)
+            d_new = jnp.where(
+                cont_gt[:, None], _normalize_dir(refr_k), _reflect(d_cur, n_k)
+            )
+            d_cur = jnp.where(cont[:, None], d_new, d_cur)
+            off_n = jnp.where(cont_gt[:, None], -n_k, n_k)
+            o_cur = jnp.where(cont[:, None], a_k.point + RAY_OFFSET * off_n, o_cur)
+            active = cont
+        return xw, n_w, alb_w, tp, found, segs
+
+    def rederive(segs, o_t, d_t, sc):
+        """Differentiable re-derivation of a frozen chain: each segment
+        re-intersects its frozen triangle (resolve_hits); mirror/
+        glass-reflect segments reflect and glass-transmit segments refract
+        (frozen eta and branch) about the differentiable oriented normal —
+        a tilted mirror or glass pane moves its reflected/refracted
+        shadows. Returns (x_t, n_t) at the chain's diffuse stop."""
+        x_t = o_t
+        n1_t = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
+        for tri_k, stop_k, facing_k, m_k, gr_k, gt_k, eta_k in segs:
+            a_t = resolve_hits(o_t, d_t, sc, tri_k)
+            n_t = a_t.gn * facing_k
+            x_t = jnp.where(stop_k[:, None], a_t.point, x_t)
+            n1_t = jnp.where(stop_k[:, None], n_t, n1_t)
+            cont_k = m_k | gr_k | gt_k
+            refr_t, _ = _refract(d_t, n_t, eta_k[:, None])
+            d_new = jnp.where(gt_k[:, None], _normalize_dir(refr_t), _reflect(d_t, n_t))
+            off_n = jnp.where(gt_k[:, None], -n_t, n_t)
+            d_t = jnp.where(cont_k[:, None], d_new, d_t)
+            o_t = jnp.where(cont_k[:, None], a_t.point + RAY_OFFSET * off_n, o_t)
+        return x_t, n1_t
+
+    x, n_x, albedo, tp1, diffuse, segs1 = spec_walk(o, d, jnp.ones((m,), bool), k_gl)
+    spec_tp = jax.lax.stop_gradient(tp1)
+
     # Optional second diffuse vertex (diffuse→diffuse shadow boundary): ONE
     # detached cosine-weighted scatter per sample — the interior
     # estimator's sampling measure, so weighting by albedo₁ (the Lambertian
     # cosine-sampling throughput factor) matches its bounce-2 term exactly.
+    # The scatter ray runs the SAME specular walk, so
+    # diffuse→mirror/glass→diffuse shadows carry gradient too.
     two_receivers = diffuse_depth >= 2 and settings.bounces >= 2
     if two_receivers:
         from gpupathtracer_tpu.ops import sampling as _sampling
@@ -727,18 +745,10 @@ def shadow_edge_gradient(
         u2 = jax.random.uniform(k_d2, (m, 2))
         local2 = _sampling.cosine_sample_hemisphere(u2[:, 0], u2[:, 1])
         d2_frozen = jax.lax.stop_gradient(_sampling.local_to_world(local2, n_x))
-        o2w = x + RAY_OFFSET * n_x
-        hit2 = intersect(o2w, d2_frozen, scene)
-        a2w = resolve_hits(o2w, d2_frozen, scene, hit2.tri, need_uv=opts.textured)
-        mat2 = scene.materials.type[a2w.mat_id]
-        facing2 = -jnp.sign(jnp.sum(d2_frozen * a2w.gn, axis=-1, keepdims=True))
-        facing2 = jnp.where(facing2 == 0.0, 1.0, facing2)
-        diffuse2 = diffuse & hit2.hit & (mat2 == BxdfType.DIFFUSE)
-        x2 = a2w.point
-        n_x2 = a2w.gn * facing2
-        albedo2 = textured_albedo_at(a2w)
-        tp2 = jax.lax.stop_gradient(spec_tp * albedo)
-        tri2_frozen = jax.lax.stop_gradient(hit2.tri)
+        x2, n_x2, albedo2, tp2_mult, diffuse2, segs2 = spec_walk(
+            x + RAY_OFFSET * n_x, d2_frozen, diffuse, jax.random.fold_in(k_gl, 0x5EC2)
+        )
+        tp2 = jax.lax.stop_gradient(spec_tp * albedo * tp2_mult)
 
     if clusters is None and table.num_edges > _HIER_EDGE_THRESHOLD:
         clusters = build_edge_clusters(scene, table)
@@ -852,41 +862,20 @@ def shadow_edge_gradient(
             om = omega_of(z_t, x_t)
             return jnp.sum(r["w_m"] * jnp.sum(r["n_hat"] * om, axis=-1))
 
-        # Re-derive the receiver x(θ) through the frozen specular chain:
-        # each segment re-intersects its frozen triangle differentiably
-        # (resolve_hits); mirror/glass-reflect segments reflect and
-        # glass-transmit segments refract (frozen eta and branch choice)
-        # about the segment's differentiable oriented normal — a tilted
-        # mirror or glass pane moves its reflected/refracted shadows. With
-        # ``camera_fn`` the primary rays themselves re-derive from the
-        # differentiable camera.
+        # Re-derive the receiver x(θ) through the frozen chains (see
+        # ``rederive``). With ``camera_fn`` the primary rays themselves
+        # re-derive from the differentiable camera.
         if camera_fn is not None:
             o_t, d_t = generate_rays_for_pixels(camera_fn(p), pix_d, jit_d)
         else:
             o_t, d_t = o_d, d_d
-        x_t = o_t
-        n1_t = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (m, 1))
-        for tri_k, stop_k, facing_k, m_k, gr_k, gt_k, eta_k in zip(
-            seg_tri, seg_stop, seg_facing, seg_mirror, seg_grefl, seg_gtrans, seg_eta
-        ):
-            a_t = resolve_hits(o_t, d_t, sc, tri_k)
-            n_t = a_t.gn * facing_k
-            x_t = jnp.where(stop_k[:, None], a_t.point, x_t)
-            n1_t = jnp.where(stop_k[:, None], n_t, n1_t)
-            cont_k = m_k | gr_k | gt_k
-            refr_t, _ = _refract(d_t, n_t, eta_k[:, None])
-            d_new = jnp.where(
-                gt_k[:, None], _normalize_dir(refr_t), _reflect(d_t, n_t)
-            )
-            off_n = jnp.where(gt_k[:, None], -n_t, n_t)
-            d_t = jnp.where(cont_k[:, None], d_new, d_t)
-            o_t = jnp.where(cont_k[:, None], a_t.point + RAY_OFFSET * off_n, o_t)
+        x_t, n1_t = rederive(segs1, o_t, d_t, sc)
         total = term(r1, x_t)
         if two_receivers:
-            # One more frozen segment: x₁(θ) + ε·n₁(θ) along the DETACHED
-            # scatter direction onto the frozen second triangle.
-            a2_t = resolve_hits(x_t + RAY_OFFSET * n1_t, d2_frozen, sc, tri2_frozen)
-            total = total + term(r2, a2_t.point)
+            # The scatter chain continues from x₁(θ) + ε·n₁(θ) along the
+            # DETACHED sampled direction through its own frozen segments.
+            x2_t, _ = rederive(segs2, x_t + RAY_OFFSET * n1_t, d2_frozen, sc)
+            total = total + term(r2, x2_t)
         return total
 
     return jax.grad(boundary_scalar)(params)
