@@ -302,6 +302,7 @@ def run_benchmark(
     from gpupathtracer_tpu.utils.debug import enable_compile_cache
 
     enable_compile_cache()
+    t_bench_start = time.perf_counter()
 
     # Headline: config-3 forward (round-1 comparability axis).
     scene_path = scene_path or os.path.join(SCENES, "config3_wahoo.toml")
@@ -362,11 +363,24 @@ def run_benchmark(
     # bit-identical to the one-shot frame anyway (sample-exact accumulation
     # contract). Runs LAST + guarded so a worker fault cannot take down the
     # rest of the suite's numbers.
+    # Wall-clock budget guard: the spec-spp rows are the most expensive part
+    # (config4's spec 1024 spp is ~10 min of chip time even warm); if the
+    # suite above already burned the budget (cold compiles, tunnel stalls),
+    # skip the remaining spec rows with a note instead of risking the
+    # driver's whole bench run timing out with NO output.
+    budget_s = float(os.environ.get("FIREFLY_BENCH_BUDGET_S", "2400"))
     skip_spec = os.environ.get("FIREFLY_SKIP_SPEC_SPP") == "1"
+
+    def over_budget():
+        return time.perf_counter() - t_bench_start > budget_s
+
     try:
         _, _, st_spec = load_scene_file(scene_path)
         if st_spec.spp > spp and not skip_spec:
-            result["full_spp"] = _bench_full_spp(scene, camera, settings, st_spec.spp)
+            if over_budget():
+                result["full_spp"] = {"skipped": "bench budget exceeded"}
+            else:
+                result["full_spp"] = _bench_full_spp(scene, camera, settings, st_spec.spp)
     except Exception as e:
         result["full_spp"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     if full_suite and not skip_spec:
@@ -375,10 +389,14 @@ def run_benchmark(
             if os.path.abspath(path) == os.path.abspath(scene_path):
                 continue
             try:
-                sc, cam, st = load_scene_file(path)
-                if st.spp > 4:
-                    entry = _bench_full_spp(sc, cam, dataclasses.replace(st, spp=4), st.spp)
-                    result.setdefault("configs", {}).setdefault(fname, {})["full_spp"] = entry
+                if over_budget():
+                    entry = {"skipped": "bench budget exceeded"}
+                else:
+                    sc, cam, st = load_scene_file(path)
+                    if st.spp <= 4:
+                        continue
+                    entry = _bench_full_spp(sc, cam, st, st.spp)
+                result.setdefault("configs", {}).setdefault(fname, {})["full_spp"] = entry
             except Exception as e:
                 result.setdefault("configs", {}).setdefault(fname, {})["full_spp"] = {
                     "error": f"{type(e).__name__}: {e}"[:200]
