@@ -761,3 +761,26 @@ def test_shadow_edge_gradient_through_glass_fd():
     fd = (loss(1.0 + h) - loss(1.0 - h)) / (2 * h)
     assert fd < 0
     np.testing.assert_allclose(g2, fd, rtol=0.3)
+
+
+def test_value_and_grad_with_edges_composed_options_smoke():
+    """The full composition — interior + primary + shadow boundary with
+    diffuse_depth=2 AND a camera_fn — executes and returns finite grads
+    for a joint (scene, camera) parameter pytree."""
+    def scene_fn(p):
+        return _quad_scene_fn(p["s"])
+
+    def camera_fn(p):
+        return QUAD_CAM.replace(position=QUAD_CAM.position + jnp.asarray([1.0, 0, 0]) * p["dx"])
+
+    table = build_edge_table(scene_fn({"s": jnp.float32(1.0), "dx": jnp.float32(0.0)}))
+    p0 = {"s": jnp.float32(1.0), "dx": jnp.float32(0.0)}
+    loss, g = value_and_grad_with_edges(
+        lambda img: jnp.mean(img), scene_fn, p0, QUAD_CAM, QUAD_SETTINGS, table,
+        jax.random.PRNGKey(2), n_samples=256, trace_spp=1,
+        shadow_edges=True, shadow_samples=128, shadow_diffuse_depth=2,
+        camera_fn=camera_fn,
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(g["s"])) and np.isfinite(float(g["dx"]))
+    assert float(g["s"]) < 0  # growing the black quad dims the image
