@@ -23,7 +23,7 @@ from gpupathtracer_tpu.utils.config import load_scene_file
 from gpupathtracer_tpu.utils.debug import enable_compile_cache
 enable_compile_cache()
 scene, camera, settings = load_scene_file(os.path.join(%(repo)r, "scenes", %(cfg)r))
-settings = dataclasses.replace(settings, spp=%(spp)d)
+settings = dataclasses.replace(settings, spp=%(spp)d, tri_block=%(tri_block)d)
 @jax.jit
 def _sum(img):
     return jnp.sum(img)
@@ -40,17 +40,17 @@ print("RESULT " + json.dumps({"median_s": round(dt, 3), "rays_per_sec": round(ra
 """
 
 
-def run_one(cfg, spp, tile, cbytes, budget=0, subtiles=1):
+def run_one(cfg, spp, tile, cbytes, budget=0, subtiles=1, tri_block=512):
     env = dict(os.environ)
     env["FIREFLY_STREAM_RAY_TILE"] = str(tile)
     env["FIREFLY_CLUSTER_BYTES"] = str(cbytes)
     env["FIREFLY_STREAM_BUDGET"] = str(budget)
     env["FIREFLY_STREAM_SUBTILES"] = str(subtiles)
-    code = CHILD % {"repo": REPO, "cfg": cfg, "spp": spp}
+    code = CHILD % {"repo": REPO, "cfg": cfg, "spp": spp, "tri_block": tri_block}
     p = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True,
                        timeout=1200)
     tag = {"cfg": cfg, "tile": tile, "cluster_kb": cbytes // 1024, "budget": budget,
-           "subtiles": subtiles}
+           "subtiles": subtiles, "tri_block": tri_block}
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             print(json.dumps({**tag, **json.loads(line[7:])}), flush=True)
