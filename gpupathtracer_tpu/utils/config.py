@@ -127,6 +127,9 @@ def parse_config(cfg: dict, config_dir: str = "."):
         background=tuple(rnd.get("background", (0.0, 0.0, 0.0))),
         aov=rnd.get("aov", "radiance"),
         rr_start=rnd.get("rr_start"),
+        # 512 is the measured resident-scene sweet spot; scenes past the
+        # VMEM budget (streamed kernel) should set 1024 — the round-5
+        # ladder peaks there on both 331k- and 1.3M-tri workloads.
         tri_block=int(rnd.get("tri_block", 512)),
         ray_chunk=int(rnd.get("ray_chunk", 8192)),
         use_shading_normals=bool(rnd.get("use_shading_normals", False)),
