@@ -623,6 +623,13 @@ STREAM_PHASE1_BUDGET = int(_os.environ.get("FIREFLY_STREAM_BUDGET", "0"))
 # 1 = off (whole-tile gating, the round-4 behavior).
 STREAM_SUBTILES = int(_os.environ.get("FIREFLY_STREAM_SUBTILES", "1"))
 
+# Refresh the gating worst between a cluster's unrolled blocks (one 64-lane
+# max per block) instead of carrying the previous cluster's worst through
+# the whole cluster — tightens mid-cluster skipping when bpc > 1 at the
+# cost of a per-block reduction. Conservative-correct either way (entry
+# keys are lower bounds, updates strict <), so images are bit-identical.
+STREAM_FRESH_WORST = _os.environ.get("FIREFLY_STREAM_FRESH_WORST", "0") == "1"
+
 
 def _plan_stream_shape(nb: int, r: int, ray_tile: int, tri_block: int):
     """Pick (ray_tile, bpc) for the streamed kernel.
@@ -642,7 +649,7 @@ def _kernel_streamed(
     init_i_ref, w_hbm_ref, best_t_ref, best_i_ref, done_ref, scratch_ref,
     bt_s, bi_s, sem_ref,
     *, tb: int, nb: int, nc: int, bpc: int, precision: str = "highest",
-    budget: int | None = None, subtiles: int = 1,
+    budget: int | None = None, subtiles: int = 1, fresh: bool = False,
 ):
     """Streaming variant for scenes beyond the VMEM budget: grid over ray
     tiles only; scene CLUSTERS (bpc consecutive blocks) stream HBM→VMEM with
@@ -733,10 +740,14 @@ def _kernel_streamed(
         gs = feats.shape[0] // subtiles
         for b in range(bpc):
             blk = c * bpc + b
+            # Fresh-worst mode: blocks after the first gate on the running
+            # scratch max (picks up this cluster's own updates) instead of
+            # the loop-carried cluster-boundary worst.
+            worst_b = jnp.max(bt_s[:]) if (fresh and b > 0) else worst
             for gi in range(subtiles):
                 lo = gi * gs
                 group_worst = (
-                    worst if subtiles == 1 else jnp.max(bt_s[lo : lo + gs])
+                    worst_b if subtiles == 1 else jnp.max(bt_s[lo : lo + gs])
                 )
 
                 @pl.when(enterblk_ref[0, 0, blk] < group_worst)
@@ -788,12 +799,14 @@ def _kernel_streamed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_tile", "bpc", "interpret", "precision", "budget", "subtiles"),
+    static_argnames=(
+        "ray_tile", "bpc", "interpret", "precision", "budget", "subtiles", "fresh"
+    ),
 )
 def _launch_streamed(
     order, enter, enter_blk, feats, alive, init_t, init_i, w,
     ray_tile: int, bpc: int, interpret: bool, precision: str = "highest",
-    budget: int | None = None, subtiles: int = 1,
+    budget: int | None = None, subtiles: int = 1, fresh: bool = False,
 ):
     rp = feats.shape[0]
     nb, _, five_tb = w.shape
@@ -804,7 +817,7 @@ def _launch_streamed(
     best_t, best_i, done = pl.pallas_call(
         functools.partial(
             _kernel_streamed, tb=tb, nb=nb, nc=nc, bpc=bpc, precision=precision,
-            budget=budget, subtiles=subtiles,
+            budget=budget, subtiles=subtiles, fresh=fresh,
         ),
         grid=(rt,),
         in_specs=[
@@ -1246,7 +1259,7 @@ def intersect_pallas(
         best_t, best_i, done = _launch_streamed(
             order, enter_sorted, enter_blk, feats, alive_i, init_t, init_i,
             w_det, ray_tile, bpc, interpret, precision, budget=budget,
-            subtiles=subtiles,
+            subtiles=subtiles, fresh=STREAM_FRESH_WORST,
         )
         if budget is not None:
             # Two-phase straggler regroup (the worst-lane-gating attack):
@@ -1272,7 +1285,7 @@ def intersect_pallas(
                 order2, es2, enter_blk2, feats[perm], und_p.astype(jnp.int32),
                 jnp.where(und_p, best_t[perm], -INF), best_i[perm],
                 w_det, ray_tile, bpc, interpret, precision, budget=None,
-                subtiles=subtiles,
+                subtiles=subtiles, fresh=STREAM_FRESH_WORST,
             )
             best_t = jnp.where(undone, bt2[inv], best_t)
             best_i = jnp.where(undone, bi2[inv], best_i)

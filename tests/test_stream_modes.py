@@ -34,11 +34,12 @@ def streamed_case(request):
     return packed, jnp.asarray(o), jnp.asarray(d), alive
 
 
-def _with_overrides(monkeypatch, budget=0, subtiles=1):
+def _with_overrides(monkeypatch, budget=0, subtiles=1, fresh=False):
     monkeypatch.setattr(pi, "RESIDENT_BUDGET_BYTES", 1024)  # force streamed
     monkeypatch.setattr(pi, "CLUSTER_TARGET_BYTES", 64 * 1024)
     monkeypatch.setattr(pi, "STREAM_PHASE1_BUDGET", budget)
     monkeypatch.setattr(pi, "STREAM_SUBTILES", subtiles)
+    monkeypatch.setattr(pi, "STREAM_FRESH_WORST", fresh)
 
 
 def _assert_same_hits(a, b):
@@ -46,12 +47,16 @@ def _assert_same_hits(a, b):
         np.testing.assert_array_equal(np.asarray(getattr(a, f)), np.asarray(getattr(b, f)))
 
 
-@pytest.mark.parametrize("budget,subtiles", [(1, 1), (2, 1), (0, 2), (0, 4), (2, 4)])
-def test_stream_modes_bit_identical(streamed_case, monkeypatch, budget, subtiles):
+@pytest.mark.parametrize(
+    "budget,subtiles,fresh",
+    [(1, 1, False), (2, 1, False), (0, 2, False), (0, 4, False), (2, 4, False),
+     (0, 1, True), (2, 1, True)],
+)
+def test_stream_modes_bit_identical(streamed_case, monkeypatch, budget, subtiles, fresh):
     packed, o, d, alive = streamed_case
     _with_overrides(monkeypatch)
     ref = pi.intersect_pallas(o, d, packed, interpret=True, alive=alive)
-    _with_overrides(monkeypatch, budget=budget, subtiles=subtiles)
+    _with_overrides(monkeypatch, budget=budget, subtiles=subtiles, fresh=fresh)
     got = pi.intersect_pallas(o, d, packed, interpret=True, alive=alive)
     _assert_same_hits(ref, got)
 
