@@ -291,3 +291,27 @@ def test_texture_recovery_adam(tmp_path):
         tex = jnp.clip(optax.apply_updates(tex, upd), 0.0, 1.0)
     err = np.abs(np.asarray(tex) - target_tex).max()
     assert err < 0.15, (err, np.asarray(tex))
+
+
+def test_factorized_matches_flat_take_paths():
+    """The small-texture factorized MXU path and the wide-texture flat-take
+    fallback (W*3 > 128 forces it) agree to float rounding on the same UV
+    set: embed the same 32x32 pattern in a 64-px-wide texture (wrap columns
+    so u-wrap taps also match) and compare lookups at u scaled onto the
+    embedded half."""
+    rng = np.random.default_rng(7)
+    small = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    # 64 wide -> W*3 = 192 > _FACTORIZED_MAX_COLS: takes the flat-take path.
+    wide = np.concatenate([small, small], axis=2)
+    r = 4096
+    uv = jnp.asarray(rng.uniform(size=(r, 2)), jnp.float32)
+    kind = jnp.full((r,), TEX_IMAGE, jnp.int32)
+    tid = jnp.zeros((r,), jnp.int32)
+    zero3 = jnp.zeros((r, 3))
+    ones = jnp.ones((r,))
+    out_small = textured_albedo(zero3, kind, tid, zero3, ones, uv, jnp.asarray(small))
+    # Same texel grid on the wide texture's left half: u' = u/2 hits the
+    # same storage columns with the same du fractions.
+    uv_wide = uv.at[:, 0].set(uv[:, 0] * 0.5)
+    out_wide = textured_albedo(zero3, kind, tid, zero3, ones, uv_wide, jnp.asarray(wide))
+    np.testing.assert_allclose(out_small, out_wide, atol=2e-6)
