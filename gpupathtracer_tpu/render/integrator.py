@@ -631,12 +631,23 @@ def trace_paths(
     options: IntegratorOptions,
     intersect_fn=None,
     packed=None,
+    packed_secondary=None,
 ) -> jnp.ndarray:
     """Trace R paths for ``options.bounces`` bounces; returns radiance (R,3).
 
     ``intersect_fn(o, d, scene) -> Hit`` defaults to the brute-force oracle;
     the accelerated backends (cluster/BVH/Pallas) plug in here unchanged.
     ``packed``: pre-packed Pallas scene (see make_intersect_fn).
+
+    ``packed_secondary``: optional second pack of the SAME scene at a
+    different block width for the scan bounces (1..N-1). Camera-coherent
+    primary tiles cull with fine blocks; incoherent secondary rays can't
+    frustum-cull, so fewer wider blocks amortize the kernel's
+    per-iteration overhead (config3 ladder in BASELINE.md: primary 128
+    beats 512 by 25%, secondaries 512 beats 128 by 9%). Images are
+    bit-identical across block widths: packed row order is Morton
+    (block-width-independent) and min/argmin ties resolve first-in-order
+    within AND across blocks.
     """
     hybrid = (
         options.compact and options.compact_mode == "hybrid"
@@ -649,6 +660,9 @@ def trace_paths(
     else:
         options_scan = options
     bounce = make_bounce_fn(scene, options_scan, intersect_fn=intersect_fn, packed=packed)
+    scan_bounce = bounce
+    if packed_secondary is not None and options.bounces > 1:
+        scan_bounce = make_bounce_fn(scene, options_scan, packed=packed_secondary)
     init = init_path_state(origins, directions, keys)
     # Bounce 0 unrolled with compaction statically off: every lane is alive
     # and camera-coherent, so the partition + gathers are pure overhead
@@ -666,7 +680,7 @@ def trace_paths(
             perm, inv = partition_alive(state[4])
             state = jax.tree.map(lambda x: x[perm], state)
         state, _ = jax.lax.scan(
-            lambda st, b: (bounce(st, b), None), state, jnp.arange(1, options.bounces)
+            lambda st, b: (scan_bounce(st, b), None), state, jnp.arange(1, options.bounces)
         )
         if inv is not None:
             return state[3][inv]

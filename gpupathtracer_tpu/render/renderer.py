@@ -35,6 +35,11 @@ class RenderSettings:
     aov: str = "radiance"  # "radiance" | "normal" | "normal_unit"
     rr_start: int | None = None
     tri_block: int = 128
+    # Optional second pack width for the scan bounces (1..N-1): primary
+    # camera tiles cull best with fine blocks, incoherent secondaries can't
+    # cull and prefer wider blocks (per-iteration overhead amortization).
+    # None = single pack at tri_block. Bit-identical images either way.
+    tri_block_secondary: int | None = None
     ray_chunk: int = 8192
     use_shading_normals: bool = False
     intersector: str = "auto"  # see IntegratorOptions.intersector
@@ -220,11 +225,16 @@ def render_frame(
         from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 
         packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
-        return _render_frame_prepacked(scene, packed, camera, settings, seed)
+        packed2 = None
+        if settings.tri_block_secondary is not None and settings.bounces > 1:
+            packed2 = pack_scene(
+                scene, tri_block=compiled_tri_block(settings.tri_block_secondary)
+            )
+        return _render_frame_prepacked(scene, packed, packed2, camera, settings, seed)
     return _render_frame_core(scene, camera, settings, seed)
 
 
-def _frame_body(scene, camera, settings, seed, intersect_fn, packed=None):
+def _frame_body(scene, camera, settings, seed, intersect_fn, packed=None, packed2=None):
     h, w = settings.height, settings.width
     assert camera.width == w and camera.height == h, "camera/screen size mismatch"
     opts = _integrator_options(settings)
@@ -241,7 +251,8 @@ def _frame_body(scene, camera, settings, seed, intersect_fn, packed=None):
     pixel_idx = jnp.arange(r, dtype=jnp.uint32)
     base_key = jax.random.PRNGKey(settings.seed if seed is None else seed)
     film_sum = accumulate_radiance(
-        scene, camera, pixel_idx, settings, base_key, intersect_fn, packed=packed
+        scene, camera, pixel_idx, settings, base_key, intersect_fn,
+        packed=packed, packed_secondary=packed2,
     )
     return (film_sum / settings.spp).reshape(h, w, 3)
 
@@ -260,11 +271,13 @@ def _render_frame_core(
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def _render_frame_prepacked(scene, packed, camera, settings, seed=None):
+def _render_frame_prepacked(scene, packed, packed2, camera, settings, seed=None):
     from gpupathtracer_tpu.render.integrator import make_intersect_fn
 
     intersect_fn = make_intersect_fn(scene, _integrator_options(settings), packed=packed)
-    return _frame_body(scene, camera, settings, seed, intersect_fn, packed=packed)
+    return _frame_body(
+        scene, camera, settings, seed, intersect_fn, packed=packed, packed2=packed2
+    )
 
 
 # BVH identity cache (same contract as the pack cache in
@@ -314,7 +327,7 @@ def _render_frame_bvh(scene, bvh, camera, settings, seed=None):
 
 def accumulate_radiance(
     scene, camera, pixel_idx, settings, base_key, intersect_fn,
-    sample_start=0, num_samples=None, packed=None,
+    sample_start=0, num_samples=None, packed=None, packed_secondary=None,
 ):
     """Sum of per-sample radiance for the given pixels (spp loop, `lax.scan`).
 
@@ -340,7 +353,8 @@ def accumulate_radiance(
             jitter_uv = None
         o, d = generate_rays_for_pixels(camera, pixel_idx, jitter_uv)
         radiance = trace_paths(
-            scene, o, d, keys, opts, intersect_fn=intersect_fn, packed=packed
+            scene, o, d, keys, opts, intersect_fn=intersect_fn, packed=packed,
+            packed_secondary=packed_secondary,
         )
         return film_sum + radiance, None
 
@@ -367,21 +381,25 @@ def render_samples(
     """
     from gpupathtracer_tpu.render.integrator import resolved_intersector
 
-    packed = None
+    packed = packed2 = None
     settings = narrow_settings(scene, settings)
     if _all_concrete(scene.valid, scene.two_sided):
         if resolved_intersector(_integrator_options(settings)) == "pallas":
             from gpupathtracer_tpu.ops.pallas_intersect import compiled_tri_block, pack_scene
 
             packed = pack_scene(scene, tri_block=compiled_tri_block(settings.tri_block))
+            if settings.tri_block_secondary is not None and settings.bounces > 1:
+                packed2 = pack_scene(
+                    scene, tri_block=compiled_tri_block(settings.tri_block_secondary)
+                )
     return _render_samples_core(
-        scene, packed, camera, settings, sample_start, num_samples, seed
+        scene, packed, packed2, camera, settings, sample_start, num_samples, seed
     )
 
 
 @partial(jax.jit, static_argnames=("settings", "num_samples"))
 def _render_samples_core(
-    scene, packed, camera, settings, sample_start, num_samples: int, seed=None
+    scene, packed, packed2, camera, settings, sample_start, num_samples: int, seed=None
 ):
     h, w = settings.height, settings.width
     pixel_idx = jnp.arange(h * w, dtype=jnp.uint32)
@@ -392,6 +410,7 @@ def _render_samples_core(
     film = accumulate_radiance(
         scene, camera, pixel_idx, settings, base_key, intersect_fn,
         sample_start=sample_start, num_samples=num_samples, packed=packed,
+        packed_secondary=packed2,
     )
     return film.reshape(h, w, 3)
 

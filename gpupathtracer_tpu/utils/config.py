@@ -131,6 +131,9 @@ def parse_config(cfg: dict, config_dir: str = "."):
         # VMEM budget (streamed kernel) should set 1024 — the round-5
         # ladder peaks there on both 331k- and 1.3M-tri workloads.
         tri_block=int(rnd.get("tri_block", 512)),
+        tri_block_secondary=(
+            int(rnd["tri_block_secondary"]) if "tri_block_secondary" in rnd else None
+        ),
         ray_chunk=int(rnd.get("ray_chunk", 8192)),
         use_shading_normals=bool(rnd.get("use_shading_normals", False)),
         intersector=rnd.get("intersector", "auto"),

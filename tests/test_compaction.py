@@ -187,3 +187,33 @@ def test_render_invariant_under_sort_key():
     )
     np.testing.assert_array_equal(img_off, img_dir)
     np.testing.assert_array_equal(img_off, img_origin)
+
+
+def test_render_invariant_under_secondary_block_width():
+    """Mixed-phase packing (tri_block_secondary): the scan bounces run on a
+    second pack at a different block width. Packed row order is Morton
+    (block-width-independent) and min/argmin ties resolve first-in-order
+    within and across blocks, so images are bit-identical to the uniform
+    pack — for both estimators (the occlusion kernel repacks too)."""
+    scene = build_scene(
+        [
+            mesh_spec("/root/reference/sceneResources/triangle.obj", mat_id=0),
+            plane_spec((0.5, 0.5, -1.5), (0, 0, 0), (4, 4, 4), mat_id=1),
+        ],
+        [
+            {"type": "diffuse", "albedo": (1.0, 0.0, 0.0)},
+            {"type": "emitter", "emissive_color": (1.0, 1.0, 1.0), "intensity": 2.0},
+        ],
+        pad_to_multiple=128,
+    )
+    cam = Camera.create(position=(0.5, 0.5, 3.0), width=24, height=24)
+    for estimator in ("naive", "nee"):
+        base = dict(
+            width=24, height=24, spp=2, bounces=3, tri_block=128,
+            intersector="pallas", estimator=estimator,
+        )
+        img_uni = np.asarray(render_frame(scene, cam, RenderSettings(**base)))
+        img_mix = np.asarray(
+            render_frame(scene, cam, RenderSettings(**base, tri_block_secondary=256))
+        )
+        np.testing.assert_array_equal(img_uni, img_mix)
