@@ -37,7 +37,7 @@ except ImportError:  # pragma: no cover
 from gpupathtracer_tpu.models.camera import Camera
 from gpupathtracer_tpu.models.scene import TriangleScene
 from gpupathtracer_tpu.ops.intersect import BIG, Hit
-from gpupathtracer_tpu.render.integrator import make_intersect_fn
+from gpupathtracer_tpu.render.integrator import make_intersect_fn, resolved_intersector
 from gpupathtracer_tpu.render.renderer import (
     RenderSettings,
     _integrator_options,
@@ -251,15 +251,38 @@ def render_frame_distributed(
         local_scene = scene_rep.replace(
             **{f: tri_shard[f][0] for f in _ROW_FIELDS}
         )
+        packed2 = None
         if n_scene == 1:
             intersect_fn = make_intersect_fn(local_scene, opts)
+            # Mixed-phase packing (render_frame parity): pure-DP shards run
+            # the full local scene, so the scan bounces can use a second
+            # wider pack just like the single-device path. Scene-sharded
+            # strategies run one width (a second pack per sweep stage is
+            # not obviously free; see tri_block_secondary in renderer.py).
+            if (
+                settings.tri_block_secondary is not None
+                and settings.bounces > 1
+                and resolved_intersector(opts) == "pallas"
+            ):
+                from gpupathtracer_tpu.ops.pallas_intersect import (
+                    compiled_tri_block,
+                    pack_scene,
+                )
+
+                packed2 = pack_scene(
+                    local_scene,
+                    tri_block=compiled_tri_block(settings.tri_block_secondary),
+                )
         elif ulysses:
             intersect_fn = make_ulysses_intersect(local_scene, rows_per_shard, n_scene, opts)
         elif scene_strategy == "ring":
             intersect_fn = make_ring_intersect(local_scene, rows_per_shard, n_scene, opts)
         else:
             intersect_fn = make_scene_sharded_intersect(local_scene, rows_per_shard, opts)
-        return accumulate_radiance(scene_rep, camera, pix, settings, key, intersect_fn)
+        return accumulate_radiance(
+            scene_rep, camera, pix, settings, key, intersect_fn,
+            packed_secondary=packed2,
+        )
 
     film_sum = run(pixel_idx, scene, rows, base_key)
     return (film_sum / settings.spp).reshape(h, w, 3)

@@ -9,6 +9,8 @@ mesh, asserting bit-identity with the single-device Pallas render across
 all three scene strategies.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,3 +96,14 @@ def test_pallas_shard_map_distributed_gradient(single_device_frame):
     g_single = jax.grad(loss_single)(a0)
     assert bool(jnp.isfinite(g_dist).all())
     np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_single), rtol=1e-5, atol=1e-8)
+
+
+def test_pallas_shard_map_mixed_phase_packing(single_device_frame):
+    """Pure-DP distributed render with tri_block_secondary: the scan bounces
+    run on the wider second pack inside the shard_map body, bit-identical to
+    the single-device render (which is itself block-width-invariant)."""
+    scene, camera, ref = single_device_frame
+    mesh = make_mesh(n_data=4, n_scene=1, devices=jax.devices()[:4])
+    mixed = dataclasses.replace(SETTINGS, tri_block_secondary=16)
+    img = np.asarray(render_frame_distributed(scene, camera, mixed, mesh))
+    np.testing.assert_array_equal(img, ref)
